@@ -1,0 +1,59 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on host CPU devices
+(xla_force_host_platform_device_count) — the TPU-native replacement for the
+reference's "multi-GPU without a cluster" gap (it had none; SURVEY.md §4).
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+import pytest
+
+# The container's sitecustomize imports jax (registering the TPU backend)
+# before conftest runs, so the env vars above are too late for jax's config
+# defaults — override the live config as well. Backends are created lazily,
+# so this still takes effect as long as no array op ran yet.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def has_reference():
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+@pytest.fixture(scope="session")
+def torch_ref():
+    """Import the reference torch implementation as a numerical oracle.
+
+    The reference repo is used read-only, for golden numerics in tests only —
+    it is never shipped as part of this framework.
+    """
+    if not has_reference():
+        pytest.skip("reference repo not available")
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import torch  # noqa: F401
+
+    from torch_utils.ops import upfirdn2d, bias_act, conv2d_resample
+
+    class Ref:
+        pass
+
+    ref = Ref()
+    ref.upfirdn2d = upfirdn2d
+    ref.bias_act = bias_act
+    ref.conv2d_resample = conv2d_resample
+    return ref
