@@ -1,0 +1,268 @@
+"""PASTA-GAN++ generator: style branch + SPADE texture branch (NHWC).
+
+References (/root/reference/training/networks.py):
+  SynthesisNetworkFull_v18 — networks.py:2197-2327
+  GeneratorFull_v20        — networks.py:2329-2366
+
+Shipped config (train.py:191-202, fashion): z_dim=0, c_dim=512, w_dim=512,
+img_resolution=512, img_channels=3, channel_base=32768, channel_max=512,
+conv_clamp=256, mapping num_layers=1; G synthesis always runs fp32
+(networks.py:2294,2325 force_fp32).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Dict, Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..nn.layers import Conv2dLayer, ResBlock
+from ..nn.mapping import MappingNetwork
+from ..nn.encoders import ConstEncoderNetwork, StyleEncoderNetwork
+from ..nn.synthesis import SynthesisBlockStyle, SynthesisBlockTexture, SpadeResBlock
+
+
+def _channels_dict(resolutions, channel_base, channel_max):
+    return {res: min(channel_base // res, channel_max) for res in resolutions}
+
+
+def _nearest_half(x):
+    """torch F.interpolate(scale_factor=0.5) default (nearest): even-index
+    subsampling of an NHWC tensor."""
+    return x[:, ::2, ::2, :]
+
+
+class SynthesisNetwork(nn.Module):
+    w_dim: int
+    img_resolution: int
+    img_channels: int
+    channel_base: int = 32768
+    channel_max: int = 512
+    conv_clamp: Optional[float] = None
+    use_noise: bool = True
+
+    @property
+    def block_resolutions(self):
+        return [2 ** i for i in range(3, int(math.log2(self.img_resolution)) + 1)]
+
+    @property
+    def num_ws(self):
+        # b8 contributes 1 conv, every later block 2; +1 for the last torgb.
+        return 1 + 2 * (len(self.block_resolutions) - 1) + 1
+
+    def _make_spade_encoder(self):
+        """3ch @512 -> 64 -> 128ch @256 encoder (networks.py:2245-2250).
+
+        Built once; shared between the upper and lower garment paths."""
+        ngf = 64
+        layers = (
+            Conv2dLayer(3, ngf, kernel_size=7, activation="relu",
+                        name="spade_encoder.0"),
+            ResBlock(ngf, ngf, kernel_size=4, activation="relu",
+                     name="spade_encoder.1"),
+            ResBlock(ngf, ngf * 2, kernel_size=4, activation="relu", down=2,
+                     name="spade_encoder.2"),
+        )
+
+        def encode(x):
+            for layer in layers:
+                x = layer(x)
+            return x
+
+        return encode
+
+    def _get_spade_feat(self, spade_encode, mask_512, denorm_mask, denorm_input):
+        """Encode denorm garment; fill predicted-but-not-covered region with
+        the masked average feature (networks.py:2253-2276)."""
+        dt = mask_512.dtype
+        mask_512 = (mask_512 > 0.9).astype(dt)
+        mask_256 = (_nearest_half(mask_512) > 0.9).astype(dt)
+        denorm_mask_256 = (_nearest_half(denorm_mask) > 0.9).astype(dt)
+
+        valid_mask = ((mask_256 + denorm_mask_256) == 2.0).astype(dt)
+        res_mask = mask_256 - valid_mask
+
+        denorm_input = denorm_input * mask_512 - (1 - mask_512)
+        feat = spade_encode(denorm_input)
+        valid_feat_sum = jnp.sum(feat * valid_mask, axis=(1, 2), keepdims=True)
+        valid_mask_sum = jnp.sum(valid_mask, axis=(1, 2), keepdims=True)
+        valid_index = (valid_mask_sum > 10).astype(dt)
+        num_px = feat.shape[1] * feat.shape[2]
+        valid_mask_sum = valid_mask_sum * valid_index + num_px * (1 - valid_index)
+        avg_feat = valid_feat_sum / valid_mask_sum
+        return feat * (1 - res_mask) + avg_feat * res_mask
+
+    @nn.compact
+    def __call__(self, ws, pose_feat, cat_feat, denorm_upper_input,
+                 denorm_lower_input, denorm_upper_mask, denorm_lower_mask,
+                 gt_parsing=None, noise_mode="random"):
+        resolutions = self.block_resolutions
+        channels = _channels_dict(resolutions, self.channel_base, self.channel_max)
+        ws = ws.astype(jnp.float32)
+
+        block_common = dict(
+            w_dim=self.w_dim,
+            img_channels=self.img_channels,
+            conv_clamp=self.conv_clamp,
+            use_noise=self.use_noise,
+        )
+
+        # Style branch: b8 ... b512. torgb of block k shares its w with
+        # block k+1's conv0 (reference ws.narrow slicing, networks.py:2281-2289).
+        x = img = None
+        pred_parsing = None
+        x_256 = img_256 = None
+        w_idx = 0
+        for res in resolutions:
+            in_ch = channels[res // 2] if res > 8 else 0
+            n_conv = 1 if res == 8 else 2
+            block = SynthesisBlockStyle(
+                in_channels=in_ch,
+                out_channels=channels[res],
+                resolution=res,
+                is_last=(res == self.img_resolution),
+                is_style=True,
+                name=f"b{res}",
+                **block_common,
+            )
+            cur_ws = ws[:, w_idx : w_idx + n_conv + 1]
+            x, img, pp = block(x, img, cur_ws, pose_feat, cat_feat,
+                               noise_mode=noise_mode)
+            if pp is not None:
+                pred_parsing = pp
+            if res == resolutions[-2]:
+                x_256, img_256 = x, img
+            w_idx += n_conv
+
+        # Parsing-index map drives the SPADE texture branch.
+        if gt_parsing is not None:
+            parsing_index = gt_parsing
+        else:
+            probs = jax.nn.softmax(jax.lax.stop_gradient(pred_parsing), axis=-1)
+            parsing_index = jnp.argmax(probs, axis=-1)[..., None].astype(jnp.float32)
+
+        upper_mask = (
+            (parsing_index == 1).astype(jnp.float32)
+            + (parsing_index == 4).astype(jnp.float32)
+        )
+        lower_mask = (
+            (parsing_index == 2).astype(jnp.float32)
+            + (parsing_index == 3).astype(jnp.float32)
+        )
+
+        spade_encode = self._make_spade_encoder()
+        spade_upper_feat = self._get_spade_feat(
+            spade_encode, jax.lax.stop_gradient(upper_mask),
+            denorm_upper_mask, denorm_upper_input)
+        spade_lower_feat = self._get_spade_feat(
+            spade_encode, jax.lax.stop_gradient(lower_mask),
+            denorm_lower_mask, denorm_lower_input)
+
+        upper_mask_256 = (_nearest_half(upper_mask) > 0.9).astype(jnp.float32)
+        lower_mask_256 = (_nearest_half(lower_mask) > 0.9).astype(jnp.float32)
+        spade_feat = (
+            spade_upper_feat * upper_mask_256 + spade_lower_feat * lower_mask_256
+        )
+
+        res_256 = resolutions[-2]
+        x_spade = SpadeResBlock(
+            channels[res_256], channels[res_256], spade_channels=128,
+            conv_clamp=self.conv_clamp, name="spade_b256_1")(x_256, spade_feat)
+        x_spade = SpadeResBlock(
+            channels[res_256], channels[res_256], spade_channels=128,
+            conv_clamp=self.conv_clamp, name="spade_b256_2")(x_spade, spade_feat)
+
+        res_512 = resolutions[-1]
+        texture = SynthesisBlockTexture(
+            in_channels=channels[res_512 // 2],
+            out_channels=channels[res_512],
+            resolution=res_512,
+            is_last=True,
+            is_style=False,
+            name="texture_b512",
+            **block_common,
+        )
+        last_ws = ws[:, self.num_ws - 3 : self.num_ws]
+        _, finetune_img, _ = texture(
+            x_spade, img_256, last_ws, pose_feat, cat_feat, parsing_index,
+            noise_mode=noise_mode)
+
+        return img, finetune_img, pred_parsing
+
+
+class Generator(nn.Module):
+    """Top-level generator: pose/style encoders + mapping + synthesis."""
+
+    z_dim: int = 0
+    c_dim: int = 512
+    w_dim: int = 512
+    img_resolution: int = 512
+    img_channels: int = 3
+    channel_base: int = 32768
+    channel_max: int = 512
+    conv_clamp: Optional[float] = 256
+    use_noise: bool = True
+    mapping_layers: int = 1
+
+    def setup(self):
+        self.synthesis = SynthesisNetwork(
+            w_dim=self.w_dim,
+            img_resolution=self.img_resolution,
+            img_channels=self.img_channels,
+            channel_base=self.channel_base,
+            channel_max=self.channel_max,
+            conv_clamp=self.conv_clamp,
+            use_noise=self.use_noise,
+        )
+        self.num_ws = self.synthesis.num_ws
+        self.mapping = MappingNetwork(
+            z_dim=self.z_dim,
+            c_dim=self.c_dim,
+            w_dim=self.w_dim,
+            num_ws=self.num_ws,
+            num_layers=self.mapping_layers,
+        )
+        # Pose features feed the first synthesis block directly: channel
+        # count and spatial size must match channels_dict[8] at 8x8. The
+        # reference hardcodes 512/6-downs for the 512px model
+        # (networks.py:2350); derived here so smaller test configs work.
+        ch8 = min(self.channel_base // 8, self.channel_max)
+        n_down = int(math.log2(self.img_resolution)) - 3
+        self.const_encoding = ConstEncoderNetwork(
+            input_nc=3 + 2, output_nc=ch8, ngf=max(ch8 // 8, 4),
+            n_downsampling=n_down)
+        self.style_encoding = StyleEncoderNetwork(
+            input_nc=10 * 3 + 5 * 3, output_nc=512, ngf=64)
+
+    def __call__(self, z, c, retain, pose, denorm_upper_input,
+                 denorm_lower_input, denorm_upper_mask, denorm_lower_mask,
+                 gt_parsing=None, truncation_psi=1.0, truncation_cutoff=None,
+                 update_w_avg=False, noise_mode="random"):
+        """Returns (coarse img, finetune img, pred_parsing), all NHWC.
+
+        Args mirror GeneratorFull_v20.forward (networks.py:2353-2366):
+            c:      [N, 45, 128, 128]-equivalent NHWC garment patch stack.
+            retain: [N, 512, 512, 6] head/skin retain input.
+            pose:   [N, 512, 512, 5] stick figure + conditioning maps.
+            denorm_{upper,lower}_input: [N, 512, 512, 3] pasted garments.
+            denorm_{upper,lower}_mask:  [N, 512, 512, 1].
+        """
+        pose_feat = self.const_encoding(pose)
+        stylecode, feats = self.style_encoding(c, retain)
+        ws = self.mapping(
+            z, stylecode, truncation_psi=truncation_psi,
+            truncation_cutoff=truncation_cutoff, update_w_avg=update_w_avg)
+        cat_feats = {str(f.shape[1]): f for f in feats}
+        return self.synthesis(
+            ws, pose_feat, cat_feats, denorm_upper_input, denorm_lower_input,
+            denorm_upper_mask, denorm_lower_mask, gt_parsing,
+            noise_mode=noise_mode)
+
+    def style_and_ws(self, z, c, retain, truncation_psi=1.0):
+        """Encoder+mapping half (used by the loss's run_G split)."""
+        stylecode, feats = self.style_encoding(c, retain)
+        ws = self.mapping(z, stylecode, truncation_psi=truncation_psi)
+        return stylecode, feats, ws
