@@ -35,6 +35,31 @@ def has_reference():
 
 
 @pytest.fixture(scope="session")
+def ref_networks():
+    """Import reference training.networks on CPU (oracle for model parity).
+
+    Works around two reference import-time bugs (SURVEY.md §2):
+    is_custom_kernel_supported crashes on CPU-only torch, and
+    util_functions loads human_colormap.mat cwd-relative.
+    """
+    if not has_reference():
+        pytest.skip("reference repo not available")
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import torch
+
+    if torch.version.cuda is None:
+        torch.version.cuda = "0.0"
+    cwd = os.getcwd()
+    os.chdir(REFERENCE_ROOT)
+    try:
+        from training import networks
+    finally:
+        os.chdir(cwd)
+    return networks
+
+
+@pytest.fixture(scope="session")
 def torch_ref():
     """Import the reference torch implementation as a numerical oracle.
 
