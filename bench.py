@@ -37,7 +37,7 @@ def main():
         denorm_lower_mask=jnp.asarray(rng.rand(batch, res, res, 1) > 0.5,
                                       jnp.float32),
     )
-    variables = model.init(
+    variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         **inputs)
 

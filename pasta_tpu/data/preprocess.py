@@ -1,0 +1,464 @@
+"""Per-pair try-on preprocessing: masks, patch normalization, conditioning.
+
+One parameterized pipeline replacing the reference's three ~800-line
+copy-paste dataset classes (UvitonDatasetFull_512_test_{full,upper,lower},
+/root/reference/training/dataset.py:1251-3480). Mode semantics:
+
+  mode='full'  — both garments come from the clothes image; patches are cut
+                 with the clothes homographies and pasted with the person's.
+  mode='upper' — upper garment from clothes; the person keeps their lower
+                 garment (cut/kept in person space).
+  mode='lower' — lower garment from clothes; the person keeps their upper.
+
+All per-mode deltas (erosion kernels, sleeve-mask source, dress-conflict
+zeroing, conditioning-bound construction, label maps) are data-driven below,
+with reference line citations at each decision point.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Dict
+
+import cv2
+import numpy as np
+import PIL.Image
+
+from .pose import load_keypoints, get_palm_mask
+from .geometry import get_crop_matrices, BODY_PARTS, SLEEVE_PARTS, LOWER_PARTS
+
+RES = 512
+PATCH = 128  # box_factor=2: 512 / 2**2
+
+
+# ---------------------------------------------------------------------------
+# loading + masks
+
+
+@dataclass
+class PersonRecord:
+    """Decoded, padded-to-square inputs for one image."""
+
+    name: str
+    image: np.ndarray          # [512, 512, 3] uint8 (white-padded)
+    pose_img: np.ndarray       # [512, 512, 3] uint8 stick figure
+    keypoints: np.ndarray      # [18, 3] in padded coords
+    parsing: np.ndarray        # [512, 512, 1] int
+    garment_parsing: Optional[np.ndarray] = None  # [512, 512, 1] int or None
+
+
+def _pad_width(h, w):
+    left = (h - w) // 2
+    return left, h - w - left
+
+
+def load_person(root, image_name, with_garment_parsing=False):
+    """Load image + keypoints + parsing (+garment parsing), pad to square.
+
+    Mirrors the reference file layout (dataset.py:1979-1987): image/<name>,
+    keypoints/<name>_keypoints.json, parsing/<name>.png,
+    garment_parsing/<name>.png.
+    """
+    img = np.array(PIL.Image.open(os.path.join(root, "image", image_name)))
+    h, w = img.shape[:2]
+    left, right = _pad_width(h, w)
+    image = np.pad(img, ((0, 0), (left, right), (0, 0)), "constant",
+                   constant_values=(255, 255))
+
+    stem = os.path.splitext(image_name)[0]
+    pose_img, keypoints = load_keypoints(
+        os.path.join(root, "keypoints", stem + "_keypoints.json"),
+        img_size=(h, w))
+    pose_img = np.pad(pose_img, ((0, 0), (left, right), (0, 0)), "constant",
+                      constant_values=(0, 0))
+    keypoints = keypoints.copy()
+    keypoints[:, 0] += left
+
+    parsing = cv2.imread(os.path.join(root, "parsing", stem + ".png"))[..., 0:1]
+    parsing = np.pad(parsing, ((0, 0), (left, right), (0, 0)), "constant",
+                     constant_values=(0, 0))
+
+    garment_parsing = None
+    if with_garment_parsing:
+        gp_path = os.path.join(root, "garment_parsing", stem + ".png")
+        gp = cv2.imread(gp_path)
+        if gp is not None:
+            garment_parsing = np.pad(
+                gp[..., 0:1], ((0, 0), (left, right), (0, 0)), "constant",
+                constant_values=(0, 0))
+    return PersonRecord(image_name, image, pose_img, keypoints, parsing,
+                        garment_parsing)
+
+
+def garment_class_masks(parsing):
+    """Disambiguate tops/dress/pants/skirt masks (dataset.py:2080-2107).
+
+    Returns dict of [H, W, 1] uint8 masks: tops, dresses, pants, skirt.
+    """
+    tops = (parsing == 5).astype(np.uint8) + (parsing == 7).astype(np.uint8)
+    dresses = (parsing == 6).astype(np.uint8)
+    pants = (parsing == 9).astype(np.uint8)
+    skirt = (parsing == 12).astype(np.uint8)
+
+    if pants.sum() > skirt.sum():
+        pants += skirt
+        skirt = skirt * 0
+    else:
+        skirt += pants
+        pants = pants * 0
+
+    if dresses.sum() > 0:
+        if pants.sum() > 0:
+            tops += dresses
+            dresses = dresses * 0
+        elif dresses.sum() > (tops.sum() + skirt.sum()):
+            dresses = dresses + tops + skirt
+            tops = tops * 0
+            skirt = skirt * 0
+        else:
+            if tops.sum() > skirt.sum():
+                skirt += dresses
+            else:
+                tops += dresses
+            dresses = dresses * 0
+    return dict(tops=tops, dresses=dresses, pants=pants, skirt=skirt)
+
+
+def sleeve_mask_from(record):
+    """Sleeve regions (labels 10/11) of a garment-parsing map, or None."""
+    if record.garment_parsing is None:
+        return None
+    gp = record.garment_parsing
+    return ((gp == 10).astype(np.uint8) + (gp == 11).astype(np.uint8))
+
+
+def skin_average_map(image, parsing):
+    """Per-channel median of neck+face skin, broadcast to [H, W, 3]
+    (dataset.py:2062-2077)."""
+    skin_mask = (parsing == 10).astype(np.uint8) + (parsing == 13).astype(np.uint8)
+    skin = skin_mask * image
+    out = []
+    for ch in range(3):
+        vals = skin[..., ch].reshape(-1)
+        valid = vals[vals > 0]
+        med = np.median(valid) if valid.size else 0.0
+        out.append(np.full_like(image[..., 0:1], med, dtype=np.float64))
+    return np.concatenate(out, axis=2)
+
+
+def retain_mask_of(record):
+    """Shoes + head + palms mask (dataset.py:2055-2060)."""
+    p = record.parsing
+    shoes = (p == 18).astype(np.uint8) + (p == 19).astype(np.uint8)
+    head = (
+        (p == 1).astype(np.uint8) + (p == 2).astype(np.uint8)
+        + (p == 4).astype(np.uint8) + (p == 13).astype(np.uint8)
+    )
+    palm = get_palm_mask(record.keypoints, p)
+    return shoes + palm + head
+
+
+def mask_to_bbox(mask):
+    """[x0, y0, x1, y1] of mask>=0.5, or None (dataset.py:999-1008)."""
+    site = np.where(mask >= 0.5)
+    if len(site[0]) > 0 and len(site[1]) > 0:
+        return [np.min(site[1]), np.min(site[0]),
+                np.max(site[1]), np.max(site[0])]
+    return None
+
+
+# ---------------------------------------------------------------------------
+# patch normalization / denormalization
+
+
+def _warp(img, m, size):
+    return cv2.warpPerspective(img, m, size, borderMode=cv2.BORDER_CONSTANT)
+
+
+def _erode_mask_255(mask_img, k):
+    """Erode a {0,255} mask image and threshold back to {0,1} uint8."""
+    eroded = cv2.erode(mask_img, np.ones((k, k), np.uint8), iterations=1)
+    if eroded.ndim == 2:
+        eroded = eroded[..., np.newaxis]
+    return (eroded == 255).astype(np.uint8)
+
+
+def normalize_patches(
+    upper_img, lower_img, upper_mask_rgb, lower_mask_rgb, sleeve_mask,
+    upper_cut_kps, lower_cut_kps, paste_kps, *,
+    erode_k=5,
+    track_wo_sleeve=False,
+    zero_lower_under_upper=False,
+    return_transforms=False,
+):
+    """Cut garments into 10 normalized 128^2 patches and composite them back
+    onto the paste pose.
+
+    Parity target: the reference `normalize` methods (train dataset.py:
+    1010-1195; test variants :2554-2700 etc.), with the cut/paste keypoint
+    sources parameterized instead of class-copied.
+
+    Args:
+        upper_img/lower_img: [512,512,3] uint8 garment pixels (masked).
+        *_mask_rgb: [512,512,3] {0,255} uint8 garment masks.
+        sleeve_mask: [512,512,1] {0,1} or None — routes arm parts.
+        upper_cut_kps / lower_cut_kps: keypoints defining the CUT transforms
+            for each stream (clothes' or person's, mode-dependent).
+        paste_kps: keypoints of the target person (paste/denormalize).
+        erode_k: erosion kernel for denorm mask cleanup (5 or 8).
+        track_wo_sleeve: also composite an upper denorm WITHOUT arm parts
+            (upper mode uses its bbox for the conditioning bound).
+        zero_lower_under_upper: zero lower patches where upper torso/hip
+            patches overlap (upper/lower modes).
+
+    Returns dict with: norm_img [128,128,30], norm_img_lower [128,128,15],
+        denorm_upper_img, denorm_lower_img [512,512,3],
+        (denorm_upper_img_wo_sleeve), (Ms, M_invs [10,3,3]).
+    """
+    o_h = o_w = RES
+    w = h = PATCH
+    kernel_k = erode_k
+
+    part_imgs = []
+    part_imgs_lower = []
+    part_masks = []
+    part_masks_lower = []
+    ms, m_invs = [], []
+
+    denorm_upper = np.zeros_like(upper_img)
+    denorm_upper_wo_sleeve = np.zeros_like(upper_img)
+    denorm_lower = np.zeros_like(upper_img)
+
+    for ii in range(len(BODY_PARTS)):
+        part_img = np.zeros((h, w, 3), np.uint8)
+        part_img_lower = np.zeros((h, w, 3), np.uint8)
+        part_mask = np.zeros((h, w, 3), np.uint8)
+        part_mask_lower = np.zeros((h, w, 3), np.uint8)
+
+        upper_m, _ = get_crop_matrices(upper_cut_kps, ii, w, h, o_w, o_h)
+        lower_m, _ = get_crop_matrices(lower_cut_kps, ii, w, h, o_w, o_h)
+        paste_m, paste_m_inv = get_crop_matrices(paste_kps, ii, w, h, o_w, o_h)
+
+        if upper_m is not None:
+            if ii in SLEEVE_PARTS:
+                src_img = upper_img * sleeve_mask if sleeve_mask is not None else upper_img
+                src_mask = upper_mask_rgb * sleeve_mask if sleeve_mask is not None else upper_mask_rgb
+            else:
+                src_img = upper_img * (1 - sleeve_mask) if sleeve_mask is not None else upper_img
+                src_mask = upper_mask_rgb * (1 - sleeve_mask) if sleeve_mask is not None else upper_mask_rgb
+            part_img = _warp(src_img, upper_m, (w, h))
+            part_mask = _warp(src_mask, upper_m, (w, h))
+
+            if paste_m_inv is not None:
+                denorm_patch = _warp(part_img, paste_m_inv, (o_w, o_h))
+                dmask = _erode_mask_255(
+                    _warp(part_mask, paste_m_inv, (o_w, o_h))[..., 0:1],
+                    kernel_k)
+                denorm_upper = denorm_patch * dmask + denorm_upper * (1 - dmask)
+                if track_wo_sleeve and ii not in SLEEVE_PARTS:
+                    denorm_upper_wo_sleeve = (
+                        denorm_patch * dmask
+                        + denorm_upper_wo_sleeve * (1 - dmask))
+
+        if ii in LOWER_PARTS and lower_m is not None:
+            part_img_lower = _warp(lower_img, lower_m, (w, h))
+            part_mask_lower = _warp(lower_mask_rgb, lower_m, (w, h))
+            if paste_m_inv is not None:
+                denorm_patch_l = _warp(part_img_lower, paste_m_inv, (o_w, o_h))
+                dmask_l = _erode_mask_255(
+                    _warp(part_mask_lower, paste_m_inv, (o_w, o_h))[..., 0:1],
+                    kernel_k)
+                denorm_lower = (
+                    denorm_patch_l * dmask_l + denorm_lower * (1 - dmask_l))
+
+        if paste_m is not None:
+            ms.append(paste_m[np.newaxis])
+            m_invs.append(paste_m_inv[np.newaxis])
+        else:
+            ms.append(np.zeros((1, 3, 3), np.float32))
+            m_invs.append(np.zeros((1, 3, 3), np.float32))
+
+        part_imgs.append(part_img)
+        part_masks.append(part_mask)
+        if ii in LOWER_PARTS:
+            part_imgs_lower.append(part_img_lower)
+            part_masks_lower.append(part_mask_lower)
+
+    if zero_lower_under_upper:
+        # Person keeps one garment: zero the kept stream's torso/hip patches
+        # where the transferred garment's patches cover them
+        # (test variants dataset.py:2660-2670).
+        for lower_idx, upper_idx in [(0, 0), (1, 6), (3, 8)]:
+            occupied = (
+                part_masks[upper_idx].sum(axis=2, keepdims=True) > 0
+            ).astype(np.uint8)
+            part_imgs_lower[lower_idx] = part_imgs_lower[lower_idx] * (1 - occupied)
+            part_masks_lower[lower_idx] = part_masks_lower[lower_idx] * (1 - occupied)
+
+    # Mirror a missing sleeve from the other side (dataset.py:1100-1129).
+    for a, b in [(2, 4), (3, 5)]:
+        if part_masks[a].sum() == 0 and part_masks[b].sum() > 0:
+            part_imgs[a] = cv2.flip(part_imgs[b], 1)
+            part_masks[a] = cv2.flip(part_masks[b], 1)
+        elif part_masks[b].sum() == 0 and part_masks[a].sum() > 0:
+            part_imgs[b] = cv2.flip(part_imgs[a], 1)
+            part_masks[b] = cv2.flip(part_masks[a], 1)
+
+    out = dict(
+        norm_img=np.concatenate(part_imgs, axis=2),
+        norm_img_lower=np.concatenate(part_imgs_lower, axis=2),
+        denorm_upper_img=denorm_upper,
+        denorm_lower_img=denorm_lower,
+        norm_clothes_masks=np.concatenate(part_masks, axis=2),
+        norm_clothes_masks_lower=np.concatenate(part_masks_lower, axis=2),
+    )
+    if track_wo_sleeve:
+        out["denorm_upper_img_wo_sleeve"] = denorm_upper_wo_sleeve
+    if return_transforms:
+        out["Ms"] = np.concatenate(ms, axis=0)
+        out["M_invs"] = np.concatenate(m_invs, axis=0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# full per-pair pipeline (test modes)
+
+
+def preprocess_pair(person: PersonRecord, clothes: PersonRecord, mode: str,
+                    use_sleeve_mask: bool = True) -> Dict[str, np.ndarray]:
+    """person + clothes records -> model-ready arrays for one try-on pair.
+
+    mode in {'full', 'upper', 'lower'}; see module docstring. Returns a dict
+    of HWC uint8/float arrays (unnormalized; batching/scaling happens in the
+    CLI/dataset layer).
+    """
+    assert mode in ("full", "upper", "lower")
+    person_cls = garment_class_masks(person.parsing)
+    clothes_cls = garment_class_masks(clothes.parsing)
+
+    if mode == "full":
+        upper_src, lower_src = clothes, clothes
+        upper_masks, lower_masks = clothes_cls, clothes_cls
+    elif mode == "upper":
+        upper_src, lower_src = clothes, person
+        upper_masks, lower_masks = clothes_cls, person_cls
+    else:
+        upper_src, lower_src = person, clothes
+        upper_masks, lower_masks = person_cls, clothes_cls
+
+    upper_mask = upper_masks["tops"] + upper_masks["dresses"]
+    lower_mask = lower_masks["skirt"] + lower_masks["pants"]
+
+    # Dress conflicts zero the other stream (dataset.py:2176-2184, lower
+    # variant equivalent).
+    dress_transfer = False
+    if mode == "upper" and clothes_cls["dresses"].sum() > 0:
+        lower_mask = lower_mask * 0
+        dress_transfer = True
+    if mode == "lower" and person_cls["dresses"].sum() > 0:
+        lower_mask = lower_mask * 0
+        dress_transfer = True
+
+    upper_img = upper_mask * upper_src.image
+    lower_img = lower_mask * lower_src.image
+    upper_mask_rgb = np.repeat(upper_mask, 3, axis=2) * 255
+    lower_mask_rgb = np.repeat(lower_mask, 3, axis=2) * 255
+
+    sleeve_src = person if mode == "lower" else clothes
+    sleeve = sleeve_mask_from(sleeve_src) if use_sleeve_mask else None
+
+    norm = normalize_patches(
+        upper_img, lower_img, upper_mask_rgb, lower_mask_rgb, sleeve,
+        upper_cut_kps=upper_src.keypoints,
+        lower_cut_kps=lower_src.keypoints,
+        paste_kps=person.keypoints,
+        erode_k=8 if mode == "upper" else 5,
+        track_wo_sleeve=(mode == "upper"),
+        zero_lower_under_upper=(mode in ("upper", "lower")),
+    )
+    denorm_upper = norm["denorm_upper_img"]
+    denorm_lower = norm["denorm_lower_img"]
+
+    # Kept-garment streams bypass the warp round-trip: the garment is already
+    # on the person (dataset.py:2213-2216 upper / lower-variant :238-241).
+    if mode == "upper":
+        kept = _erode_mask_255(lower_mask_rgb, 8)
+        denorm_lower = lower_img * kept
+    if mode == "lower":
+        kept = _erode_mask_255(upper_mask_rgb, 8)
+        denorm_upper = upper_img * kept
+
+    # Conditioning bound map for the lower garment.
+    bound = np.zeros_like(lower_mask[..., 0:1], np.uint8)
+    if mode == "upper":
+        lower_bbox = mask_to_bbox(lower_mask.copy())
+        lhip, rhip = person.keypoints[11], person.keypoints[8]
+        ub = None
+        if lhip[2] > 0.05 and rhip[2] > 0.05:
+            hip_width = np.linalg.norm(lhip[0:2] - rhip[0:2])
+            middle_y = (lhip[1] + rhip[1]) / 2
+            ub = int(middle_y - (3 * hip_width / 4))
+            if lower_bbox is not None:
+                ub = min(ub, lower_bbox[1])
+        elif lower_bbox is not None:
+            ub = lower_bbox[1]
+        if ub is not None and not dress_transfer:
+            bound[ub:, ...] += 255
+        # Cut the bound above the transferred upper garment's bottom.
+        wo_sleeve_mask = (
+            norm["denorm_upper_img_wo_sleeve"].sum(axis=2, keepdims=True) > 0
+        ).astype(np.uint8)
+        upper_bbox = mask_to_bbox(wo_sleeve_mask)
+        if upper_bbox is not None:
+            bound[0:upper_bbox[3], ...] *= 0
+    elif mode == "lower":
+        lower_bbox = mask_to_bbox((person_cls["skirt"] + person_cls["pants"]).copy())
+        if lower_bbox is not None:
+            bound[lower_bbox[1]:, ...] += 255
+    else:  # full
+        denorm_lower_mask = (
+            denorm_lower.sum(axis=2, keepdims=True) > 0).astype(np.uint8)
+        lower_bbox = mask_to_bbox(denorm_lower_mask)
+        if lower_bbox is not None and not (
+                mode == "full" and clothes_cls["dresses"].sum() > 0):
+            bound[lower_bbox[1]:, ...] += 255
+
+    # Lower-garment class label map: pants 0, skirt 1/2, dress 1 (x255).
+    label = np.ones_like(lower_mask)
+    if mode == "upper":
+        pants, skirt = person_cls["pants"], person_cls["skirt"]
+        dress = clothes_cls["dresses"]
+        if dress_transfer:
+            pants, skirt = pants * 0, skirt * 0
+    elif mode == "lower":
+        pants, skirt = clothes_cls["pants"], clothes_cls["skirt"]
+        dress = person_cls["dresses"]
+        if dress_transfer:
+            pants, skirt = pants * 0, skirt * 0
+    else:
+        pants, skirt = clothes_cls["pants"], clothes_cls["skirt"]
+        dress = clothes_cls["dresses"]
+    if pants.sum() > 0:
+        label = label * 0
+    elif skirt.sum() > 0:
+        label = label * 1
+    elif dress.sum() > 0:
+        label = label * 2
+    label = label / 2.0 * 255
+
+    return dict(
+        image=person.image,
+        clothes=clothes.image,
+        pose=person.pose_img,
+        norm_img=norm["norm_img"],
+        norm_img_lower=norm["norm_img_lower"],
+        denorm_upper_img=denorm_upper,
+        denorm_lower_img=denorm_lower,
+        retain_mask=retain_mask_of(person),
+        skin_average=skin_average_map(person.image, person.parsing),
+        lower_label_map=label.astype(np.float64),
+        lower_bound=bound.astype(np.float64),
+        person_name=person.name,
+        clothes_name=clothes.name,
+    )

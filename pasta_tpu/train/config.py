@@ -1,0 +1,101 @@
+"""Training configuration (reference cfg presets, train.py:160-260).
+
+The shipped `fashion` preset: 512px, total batch 32 over 8 devices,
+lr 5e-4, Adam(0, 0.99), R1 gamma 10, mbstd 4, fmaps 1.0, EMA 10 kimg,
+1 mapping layer, ADA 'bgc' targeting 0.6; loss weights from train.sh:
+l1 10, vgg 20, mask 30.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # model
+    resolution: int = 512
+    channel_base: int = 32768
+    channel_max: int = 512
+    conv_clamp: float = 256.0
+    mapping_layers: int = 1
+    use_noise: bool = True
+    z_dim: int = 0
+    c_dim: int = 512
+    w_dim: int = 512
+
+    # optimization
+    batch_size: int = 32
+    data_axis_size: int = 8
+    mbstd_group_size: int = 4
+    lr: float = 5e-4
+    adam_beta1: float = 0.0
+    adam_beta2: float = 0.99
+    adam_eps: float = 1e-8
+    total_kimg: int = 10000
+
+    # objectives
+    r1_gamma: float = 10.0
+    l1_weight: float = 10.0
+    vgg_weight: float = 20.0
+    mask_weight: float = 30.0
+    pl_weight: float = 0.0          # path-length reg is disabled in the
+                                    # reference fashion config (train.sh)
+    style_mixing_prob: float = 0.0
+    d_reg_interval: int = 16
+    g_reg_interval: int = 4
+    # The reference registers the parsing-D phases twice (a bug — see
+    # SURVEY.md §7 known bugs; training_loop_fullbody.py:468-470), training
+    # it with two optimizers per step. Off by default; on for exact parity.
+    double_d_parsing: bool = False
+
+    # EMA
+    ema_kimg: float = 10.0
+    ema_rampup: Optional[float] = None
+
+    # ADA
+    ada_target: float = 0.6
+    ada_interval: int = 4
+    ada_kimg: float = 500.0
+    augment_p_init: float = 0.0
+    use_ada: bool = True
+
+    # precision: 'fp32' or 'bf16' compute for D (G synthesis stays fp32 per
+    # reference networks.py:2294)
+    d_num_bf16_res: int = 0
+
+    @property
+    def batch_per_device(self):
+        assert self.batch_size % self.data_axis_size == 0
+        return self.batch_size // self.data_axis_size
+
+    def lazy_reg_scale(self, interval):
+        """Lazy-regularization hyperparameter scaling
+        (training_loop_fullbody.py:474-481)."""
+        mb_ratio = interval / (interval + 1)
+        return dict(
+            lr=self.lr * mb_ratio,
+            b1=self.adam_beta1 ** mb_ratio,
+            b2=self.adam_beta2 ** mb_ratio,
+        )
+
+
+def fashion_config(**overrides) -> TrainConfig:
+    return TrainConfig(**overrides)
+
+
+def smoke_config(n_devices=8, **overrides) -> TrainConfig:
+    """Tiny config for CPU-mesh smoke tests and the driver dry run."""
+    defaults = dict(
+        resolution=64,
+        channel_base=2048,
+        channel_max=128,
+        batch_size=n_devices * 2,
+        data_axis_size=n_devices,
+        mbstd_group_size=2,
+        vgg_weight=0.0,
+        total_kimg=1,
+    )
+    defaults.update(overrides)
+    return TrainConfig(**defaults)
