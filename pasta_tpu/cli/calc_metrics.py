@@ -1,0 +1,57 @@
+"""Metric runner CLI (reference calc_metrics.py:87-95 flag surface, adapted
+to the folder-vs-folder evaluation that the try-on pipeline actually uses).
+
+    python -m pasta_tpu.cli.calc_metrics --metrics fid,kid \
+        --real <dir of real images> --gen <dir of generated composites> \
+        --detector inception.npz [--crop-generated]
+
+--crop-generated extracts the generated panel (cols 2/3 of the
+[clothes|person|generated] composite) before feature extraction.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--metrics", default="fid",
+                   help="comma-separated: fid,kid,inception_score,pr")
+    p.add_argument("--real", required=True)
+    p.add_argument("--gen", required=True)
+    p.add_argument("--detector", required=True,
+                   help="inception_v3 weights (.npz or torch .pth)")
+    p.add_argument("--max-items", type=int, default=None)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--cache-dir", default=None)
+    p.add_argument("--run-dir", default=None)
+    p.add_argument("--crop-generated", action="store_true",
+                   help="use the right third of composite images as gen input")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ..metrics.metric_main import (
+        DetectorRunner, calc_metric, is_valid_metric, list_metrics,
+        load_detector)
+
+    metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
+    for m in metrics:
+        if not is_valid_metric(m):
+            raise SystemExit(f"unknown metric '{m}'; valid: {list_metrics()}")
+    runner = DetectorRunner(load_detector(args.detector), args.batch)
+    crop = None
+    if args.crop_generated:
+        crop = (0, 512, 640, 960)  # generated panel of the 960x512 composite
+    for m in metrics:
+        record = calc_metric(
+            m, runner, args.real, args.gen, run_dir=args.run_dir,
+            max_items=args.max_items, cache_dir=args.cache_dir, crop=crop)
+        print(json.dumps(record["results"]))
+
+
+if __name__ == "__main__":
+    main()

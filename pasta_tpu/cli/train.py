@@ -1,0 +1,144 @@
+"""Training CLI — flag surface mirrors the reference train.py.
+
+    python -m pasta_tpu.cli.train --outdir runs --data <dir> --cfg fashion \
+        --batch 32 --l1weight 10 --vgg_weight 20 --mask_weight 30
+
+The reference's --gpus maps to --devices (size of the 1-D data mesh).
+--dry-run constructs the full config + models without training
+(train.py:434,551-553). training_options.json is written like the reference
+(train.py:558-559).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import re
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--data", required=True,
+                   help="dataset root (image/ keypoints/ parsing/ garment_parsing/)")
+    p.add_argument("--cfg", default="fashion", choices=["fashion", "smoke"])
+    p.add_argument("--devices", "--gpus", type=int, default=None, dest="devices")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--kimg", type=int, default=None)
+    p.add_argument("--gamma", type=float, default=None)
+    p.add_argument("--l1weight", type=float, default=10.0)
+    p.add_argument("--vgg_weight", type=float, default=20.0)
+    p.add_argument("--mask_weight", type=float, default=30.0)
+    p.add_argument("--pl_weight", type=float, default=0.0)
+    p.add_argument("--contextual_weight", type=float, default=0.0)
+    p.add_argument("--use_noise_const_branch", type=lambda s: s == "True",
+                   default=True)
+    p.add_argument("--aug", default="ada", choices=["ada", "noaug", "fixed"])
+    p.add_argument("--p", type=float, default=0.0, help="fixed augment p")
+    p.add_argument("--target", type=float, default=0.6)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--vgg19", default=None,
+                   help="torchvision-format vgg19 .pth/.npz for the VGG loss")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--snap", type=int, default=10, help="snapshot ticks")
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="hard step cap (smoke/debug)")
+    p.add_argument("--dry-run", action="store_true")
+    return p.parse_args(argv)
+
+
+def build_config(args):
+    import jax
+
+    from ..train.config import TrainConfig, smoke_config
+
+    n_dev = args.devices or len(jax.devices())
+    if args.cfg == "smoke":
+        cfg = smoke_config(n_dev)
+    else:
+        cfg = TrainConfig(data_axis_size=n_dev)
+    updates = dict(
+        l1_weight=args.l1weight,
+        vgg_weight=args.vgg_weight,
+        mask_weight=args.mask_weight,
+        pl_weight=args.pl_weight,
+        use_noise=args.use_noise_const_branch,
+        ada_target=args.target,
+        use_ada=args.aug != "noaug",
+        augment_p_init=args.p if args.aug == "fixed" else 0.0,
+    )
+    if args.batch is not None:
+        updates["batch_size"] = args.batch
+    if args.kimg is not None:
+        updates["total_kimg"] = args.kimg
+    if args.gamma is not None:
+        updates["r1_gamma"] = args.gamma
+    return dataclasses.replace(cfg, **updates)
+
+
+def next_run_dir(outdir, desc):
+    """NNNNN-<desc> auto-numbering (reference train.py:526-533)."""
+    os.makedirs(outdir, exist_ok=True)
+    prev = [re.match(r"^(\d+)-", d) for d in os.listdir(outdir)]
+    prev_ids = [int(m.group(1)) for m in prev if m]
+    run_id = max(prev_ids, default=-1) + 1
+    run_dir = os.path.join(outdir, f"{run_id:05d}-{desc}")
+    os.makedirs(run_dir)
+    return run_dir
+
+
+def load_vgg_params(path):
+    if path is None:
+        return None
+    import numpy as np
+
+    from ..losses.vgg import import_vgg19_torch_state
+
+    if path.endswith(".npz"):
+        data = np.load(path)
+        state = {k: data[k] for k in data.files}
+    else:
+        import torch
+
+        state = {k: v.numpy() for k, v in
+                 torch.load(path, map_location="cpu").items()}
+    return import_vgg19_torch_state(state)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_config(args)
+
+    run_dir = next_run_dir(
+        args.outdir, f"{args.cfg}-b{cfg.batch_size}-d{cfg.data_axis_size}")
+    with open(os.path.join(run_dir, "training_options.json"), "w") as f:
+        json.dump({**dataclasses.asdict(cfg), "args": vars(args)}, f, indent=2)
+    print(f"run dir: {run_dir}")
+    print(json.dumps(dataclasses.asdict(cfg), indent=2))
+
+    if args.dry_run:
+        print("dry run: config OK, exiting")
+        return
+
+    from ..data.trainsets import TryonTrainDataset
+    from ..train.loop import training_loop
+
+    dataset = TryonTrainDataset(args.data, seed=args.seed,
+                                resolution=cfg.resolution)
+    print(f"dataset: {len(dataset)} images from {args.data}")
+    vgg_params = load_vgg_params(args.vgg19)
+    if cfg.vgg_weight > 0 and vgg_params is None:
+        print("WARNING: vgg_weight > 0 but no --vgg19 weights; "
+              "VGG loss disabled")
+    training_loop(
+        cfg, dataset, run_dir, vgg_params=vgg_params,
+        resume_path=args.resume, num_workers=args.workers,
+        snapshot_ticks=args.snap, seed=args.seed,
+        total_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -191,6 +191,7 @@ def normalize_patches(
     track_wo_sleeve=False,
     zero_lower_under_upper=False,
     return_transforms=False,
+    train_erasure_rng=None,
 ):
     """Cut garments into 10 normalized 128^2 patches and composite them back
     onto the paste pose.
@@ -313,6 +314,13 @@ def normalize_patches(
         norm_clothes_masks=np.concatenate(part_masks, axis=2),
         norm_clothes_masks_lower=np.concatenate(part_masks_lower, axis=2),
     )
+    if train_erasure_rng is not None:
+        # Train-time lower-garment erasure augmentation (dataset.py:1139-1170).
+        from .trainsets import _train_erasure
+
+        erased = _train_erasure(
+            part_imgs_lower, part_masks_lower, train_erasure_rng)
+        out["norm_img_lower_for_train"] = np.concatenate(erased, axis=2)
     if track_wo_sleeve:
         out["denorm_upper_img_wo_sleeve"] = denorm_upper_wo_sleeve
     if return_transforms:

@@ -1,0 +1,250 @@
+"""Training dataset: same-person reconstruction with erasure augmentation.
+
+Parity target: UvitonDatasetFull_512 (/root/reference/training/dataset.py:
+404-1248). Differences handled explicitly:
+
+  * the reference's ACGPN random occlusion masks are files on disk
+    (dataset.py:1226-1241); when no mask directory is supplied we synthesize
+    random rectangle/ellipse blobs with the same role (p=0.9 per sample).
+  * the train-time lower-garment erasure augmentation (dataset.py:1160-1170)
+    is ported exactly (p=0.8 torso-patch zeroing / strip erasure).
+
+Training consumes the ERASED lower patch stack and the `for_train` bound map
+(training_loop_fullbody.py:551-553 unpacking).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import cv2
+import numpy as np
+
+from . import preprocess as pp
+from .preprocess import (
+    PersonRecord, garment_class_masks, load_person, mask_to_bbox,
+    normalize_patches, retain_mask_of, skin_average_map, sleeve_mask_from,
+    _erode_mask_255, RES, PATCH)
+
+
+def _train_erasure(part_imgs_lower, part_masks_lower, rng):
+    """Random lower-garment patch erasure (dataset.py:1139-1170)."""
+    h, w = PATCH, PATCH
+    bbox = mask_to_bbox(part_masks_lower[0][..., 0:1].copy())
+    out = [p.copy() for p in part_imgs_lower]
+    if bbox is None:
+        return out
+    if rng.rand() < 0.80:
+        if rng.rand() < 0.6:
+            out[0] = np.zeros((h, w, 3), np.uint8)
+            if rng.rand() < 0.75:
+                erase = rng.randint(1, h // 10)
+                out[1][0:erase, ...] = 0
+                out[3][0:erase, ...] = 0
+        else:
+            ty = bbox[1]
+            by = rng.randint(ty + 1, h + 1)
+            out[0][ty:by, ...] = 0
+    return out
+
+
+def synthesize_occlusion_mask(rng, size=RES):
+    """Procedural stand-in for the ACGPN random mask files: a blob of a few
+    random rotated rectangles and ellipses, [size, size, 1] in {0,1}."""
+    mask = np.zeros((size, size, 1), np.uint8)
+    for _ in range(rng.randint(1, 4)):
+        cx, cy = rng.randint(64, size - 64, 2)
+        w, h = rng.randint(30, 140, 2)
+        angle = rng.uniform(0, 180)
+        if rng.rand() < 0.5:
+            box = cv2.boxPoints(((float(cx), float(cy)),
+                                 (float(w), float(h)), float(angle)))
+            cv2.fillPoly(mask, [np.int32(box)], 1)
+        else:
+            cv2.ellipse(mask, (int(cx), int(cy)), (int(w // 2), int(h // 2)),
+                        angle, 0, 360, 1, -1)
+    return mask
+
+
+def preprocess_person_train(person: PersonRecord,
+                            rng: np.random.RandomState,
+                            occlusion_mask_dir: Optional[str] = None,
+                            occlusion_files=None) -> Dict[str, np.ndarray]:
+    """One training sample (same-person cut+paste) -> model input arrays."""
+    cls = garment_class_masks(person.parsing)
+    p = person.parsing
+
+    upper_mask = cls["tops"] + cls["dresses"]
+    lower_mask = cls["skirt"] + cls["pants"]
+    hand_leg = sum((p == i).astype(np.uint8) for i in (14, 15, 16, 17))
+    neck = (p == 10).astype(np.uint8)
+    # 7-class gt parsing (dataset.py:596-597)
+    gt_parsing = (
+        cls["tops"] * 1 + cls["pants"] * 2 + cls["skirt"] * 3
+        + cls["dresses"] * 4 + neck * 5 + hand_leg * 6
+    ).astype(np.float32)
+
+    upper_img = upper_mask * person.image
+    lower_img = lower_mask * person.image
+    upper_mask_rgb = np.repeat(upper_mask, 3, axis=2) * 255
+    lower_mask_rgb = np.repeat(lower_mask, 3, axis=2) * 255
+    sleeve = sleeve_mask_from(person)
+
+    norm = normalize_patches(
+        upper_img, lower_img, upper_mask_rgb, lower_mask_rgb, sleeve,
+        upper_cut_kps=person.keypoints,
+        lower_cut_kps=person.keypoints,
+        paste_kps=person.keypoints,
+        erode_k=5,
+        return_transforms=True,
+        train_erasure_rng=rng,
+    )
+
+    # bound map (train variant: bbox only, dataset.py:612-616)
+    bound = np.zeros_like(lower_mask[..., 0:1], np.float64)
+    bbox = mask_to_bbox(lower_mask.copy())
+    if bbox is not None:
+        bound[bbox[1]:, ...] += 255
+
+    label = np.ones_like(lower_mask)
+    if cls["pants"].sum() > 0:
+        label = label * 0
+    elif cls["skirt"].sum() > 0:
+        label = label * 1
+    elif cls["dresses"].sum() > 0:
+        label = label * 2
+    label = label / 2.0 * 255
+
+    # random occlusion of the denorm garments (dataset.py:1226-1241)
+    denorm_upper = norm["denorm_upper_img"]
+    denorm_lower = norm["denorm_lower_img"]
+    occ = np.zeros((RES, RES, 1), np.uint8)
+    if rng.rand() < 0.9:
+        if occlusion_files:
+            fname = occlusion_files[rng.randint(len(occlusion_files))]
+            m = cv2.imread(os.path.join(occlusion_mask_dir or "", fname))
+            occ = (m[..., 0:1] > 0).astype(np.uint8)
+        else:
+            occ = synthesize_occlusion_mask(rng)
+    denorm_upper = denorm_upper * (1 - occ)
+    denorm_lower = denorm_lower * (1 - occ)
+
+    return dict(
+        image=person.image,
+        pose=person.pose_img,
+        norm_img=norm["norm_img"],
+        norm_img_lower=norm["norm_img_lower_for_train"],
+        denorm_upper_img=denorm_upper,
+        denorm_lower_img=denorm_lower,
+        gt_parsing=gt_parsing,
+        retain_mask=retain_mask_of(person),
+        skin_average=skin_average_map(person.image, person.parsing),
+        lower_label_map=label.astype(np.float64),
+        lower_bound=bound,
+        person_name=person.name,
+    )
+
+
+def _resize_item(item, res):
+    """Downscale a preprocessed sample to `res` (debug/smoke configs only;
+    the shipped pipeline is 512)."""
+    out = {}
+    for k, v in item.items():
+        if not isinstance(v, np.ndarray):
+            out[k] = v
+            continue
+        if v.shape[0] == RES:
+            target = res
+        elif v.shape[0] == PATCH:
+            target = max(res // 4, 8)
+        else:
+            out[k] = v
+            continue
+        interp = cv2.INTER_NEAREST if k in ("gt_parsing", "retain_mask") \
+            else cv2.INTER_AREA
+        r = cv2.resize(v.astype(np.float32), (target, target),
+                       interpolation=interp)
+        if r.ndim == 2:
+            r = r[..., np.newaxis]
+        out[k] = r
+    return out
+
+
+class TryonTrainDataset:
+    """Iterable same-person training dataset over an image-folder layout.
+
+    Each sample needs image/, keypoints/, parsing/, garment_parsing/ entries
+    (the reference's multi-source txt-list plumbing maps to passing an
+    explicit file list)."""
+
+    def __init__(self, root: str, image_names=None, seed: int = 0,
+                 use_sleeve_mask: bool = True,
+                 occlusion_mask_dir: Optional[str] = None,
+                 resolution: int = RES):
+        self.root = root
+        self.use_sleeve_mask = use_sleeve_mask
+        self.resolution = resolution
+        if image_names is None:
+            image_names = sorted(os.listdir(os.path.join(root, "image")))
+        self.image_names = list(image_names)
+        self.rng = np.random.RandomState(seed)
+        self.occlusion_mask_dir = occlusion_mask_dir
+        self.occlusion_files = (
+            sorted(os.listdir(occlusion_mask_dir))
+            if occlusion_mask_dir and os.path.isdir(occlusion_mask_dir)
+            else None)
+
+    def __len__(self):
+        return len(self.image_names)
+
+    def __getitem__(self, idx):
+        person = load_person(self.root, self.image_names[idx],
+                             with_garment_parsing=self.use_sleeve_mask)
+        item = preprocess_person_train(
+            person, self.rng, self.occlusion_mask_dir, self.occlusion_files)
+        if self.resolution != RES:
+            item = _resize_item(item, self.resolution)
+        return item
+
+    def infinite_batches(self, batch_size, shuffle=True):
+        """Infinite shuffled batch iterator (misc.InfiniteSampler analogue)."""
+        order = np.arange(len(self))
+        while True:
+            if shuffle:
+                self.rng.shuffle(order)
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                idxs = order[start:start + batch_size]
+                yield [self[i] for i in idxs]
+
+
+def batch_to_train_inputs(items):
+    """Stack per-sample dicts -> train-step batch (training_loop
+    :548-601 tensor assembly, NHWC)."""
+    stack = lambda key: np.stack(
+        [item[key] for item in items]).astype(np.float32)
+    norm01 = lambda x: x / 127.5 - 1.0
+
+    image = norm01(stack("image"))
+    pose = norm01(stack("pose"))
+    retain_mask = stack("retain_mask")
+    retain = image * retain_mask - (1 - retain_mask)
+    denorm_upper = stack("denorm_upper_img")
+    denorm_lower = stack("denorm_lower_img")
+    return dict(
+        real_img=image,
+        pose=np.concatenate([
+            pose, norm01(stack("lower_label_map")),
+            norm01(stack("lower_bound"))], axis=-1),
+        style_input=np.concatenate(
+            [norm01(stack("norm_img")), norm01(stack("norm_img_lower"))],
+            axis=-1),
+        retain=np.concatenate([retain, norm01(stack("skin_average"))], axis=-1),
+        denorm_upper_input=norm01(denorm_upper),
+        denorm_lower_input=norm01(denorm_lower),
+        denorm_upper_mask=(
+            denorm_upper.sum(axis=-1, keepdims=True) > 0).astype(np.float32),
+        denorm_lower_mask=(
+            denorm_lower.sum(axis=-1, keepdims=True) > 0).astype(np.float32),
+        gt_parsing=stack("gt_parsing"),
+    )

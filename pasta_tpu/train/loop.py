@@ -1,0 +1,181 @@
+"""Training orchestration (reference training_loop_fullbody.py:344-789).
+
+Host loop: parallel preprocessing -> shard batch over the data mesh -> one
+jitted SPMD step (all phases) -> periodic status/stats/snapshots/checkpoints.
+
+Improvements over the reference checkpoint story (SURVEY.md §5): orbax
+checkpoints carry optimizer state, EMA, ADA p, and step — resume is exact.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import PIL.Image
+
+from ..data.trainsets import TryonTrainDataset, batch_to_train_inputs
+from ..io.checkpoint import save_checkpoint_variables, load_checkpoint_variables
+from .config import TrainConfig
+from .entry import make_mesh, shard_batch, replicate
+from .state import init_state, TrainState
+from .steps import make_train_step
+from .stats import Collector, JsonlLogger
+
+
+class ParallelLoader:
+    """Background-thread batch producer over a process pool.
+
+    The reference relies on torch DataLoader worker processes
+    (training_loop_fullbody.py:392-394); this is the torch-free equivalent.
+    """
+
+    def __init__(self, dataset, batch_size, num_workers=8, seed=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.rng = np.random.RandomState(seed)
+        self.pool = concurrent.futures.ThreadPoolExecutor(num_workers)
+        self._pending = []
+
+    def _sample_indices(self):
+        return self.rng.randint(0, len(self.dataset), self.batch_size)
+
+    def _submit(self):
+        idxs = self._sample_indices()
+        return [self.pool.submit(self.dataset.__getitem__, int(i))
+                for i in idxs]
+
+    def __iter__(self):
+        # keep two batches in flight
+        self._pending = [self._submit(), self._submit()]
+        while True:
+            futs = self._pending.pop(0)
+            self._pending.append(self._submit())
+            items = [f.result() for f in futs]
+            yield batch_to_train_inputs(items)
+
+
+def save_image_grid(images, path, drange=(-1, 1), grid_cols=None):
+    """[N, H, W, 3] -> one PNG grid (training_loop_fullbody.py:313-340)."""
+    n, h, w, _ = images.shape
+    cols = grid_cols or int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    lo, hi = drange
+    img = (np.asarray(images, np.float32) - lo) * 255 / (hi - lo)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    grid = np.zeros((rows * h, cols * w, 3), np.uint8)
+    for i in range(n):
+        r, c = divmod(i, cols)
+        grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = img[i]
+    PIL.Image.fromarray(grid).save(path)
+
+
+def training_loop(
+    cfg: TrainConfig,
+    dataset: TryonTrainDataset,
+    run_dir: str,
+    vgg_params=None,
+    resume_path: Optional[str] = None,
+    total_steps: Optional[int] = None,
+    tick_interval: int = 50,
+    snapshot_ticks: int = 10,
+    num_workers: int = 8,
+    seed: int = 0,
+    progress_fn=None,
+    abort_fn=None,
+):
+    os.makedirs(run_dir, exist_ok=True)
+    mesh = make_mesh(cfg.data_axis_size)
+    state = init_state(cfg, jax.random.PRNGKey(seed))
+    if resume_path is not None:
+        state = load_checkpoint_variables(
+            resume_path, jax.tree.map(np.asarray, state))
+        state = TrainState(*state) if isinstance(state, (tuple, list)) else state
+    state = replicate(state, mesh)
+
+    train_step = make_train_step(cfg, vgg_params=vgg_params)
+    loader = iter(ParallelLoader(dataset, cfg.batch_size, num_workers, seed))
+    logger = JsonlLogger(run_dir)
+    collector = Collector()
+
+    if total_steps is None:
+        total_steps = cfg.total_kimg * 1000 // cfg.batch_size
+
+    key = jax.random.PRNGKey(seed + 1)
+    start_step = int(jax.device_get(state.step))
+    t_tick = time.time()
+    images_at_tick = start_step * cfg.batch_size
+
+    for step in range(start_step, total_steps):
+        batch_np = next(loader)
+        batch = shard_batch(batch_np, mesh)
+        key, sub = jax.random.split(key)
+        do_r1_d = cfg.r1_gamma != 0 and step % cfg.d_reg_interval == 0
+        state, metrics = train_step(state, batch, sub, do_r1_d=do_r1_d,
+                                    do_r1_dp=do_r1_d)
+
+        if (step + 1) % tick_interval == 0 or step == total_steps - 1:
+            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            collector.report(metrics)
+            cur_nimg = (step + 1) * cfg.batch_size
+            dt = time.time() - t_tick
+            sec_per_kimg = dt / max((cur_nimg - images_at_tick) / 1000, 1e-9)
+            print(
+                f"tick step {step + 1:<7d} kimg {cur_nimg / 1000:<10.1f} "
+                f"sec/kimg {sec_per_kimg:<8.1f} "
+                f"g_loss {metrics.get('g_loss', 0):.3f} "
+                f"d_loss {metrics.get('d_loss', 0):.3f} "
+                f"augment p {metrics.get('ada_p', 0):.3f}",
+                flush=True)
+            logger.write({"step": step + 1, "kimg": cur_nimg / 1000,
+                          "sec_per_kimg": sec_per_kimg, **collector.as_dict()})
+            collector.reset()
+            t_tick = time.time()
+            images_at_tick = cur_nimg
+
+            tick_idx = (step + 1) // tick_interval
+            if tick_idx % snapshot_ticks == 0 or step == total_steps - 1:
+                _save_snapshot(cfg, state, batch, run_dir, step + 1)
+            if progress_fn is not None:
+                progress_fn(cur_nimg, cfg.total_kimg * 1000)
+            if abort_fn is not None and abort_fn():
+                break
+
+    return state
+
+
+def _save_snapshot(cfg, state, batch, run_dir, step):
+    """EMA-generator sample grid + full-state checkpoint."""
+    from .state import make_models
+
+    g, _, _ = make_models(cfg)
+    n_vis = min(8, batch["real_img"].shape[0])
+    sub = {k: v[:n_vis] for k, v in batch.items()}
+
+    @jax.jit
+    def ema_forward(params, buffers, sub):
+        img, finetune, parsing = g.apply(
+            {"params": params, "buffers": buffers},
+            z=jnp.zeros((n_vis, 0)), c=sub["style_input"],
+            retain=sub["retain"], pose=sub["pose"],
+            denorm_upper_input=sub["denorm_upper_input"],
+            denorm_lower_input=sub["denorm_lower_input"],
+            denorm_upper_mask=sub["denorm_upper_mask"],
+            denorm_lower_mask=sub["denorm_lower_mask"],
+            noise_mode="const")
+        return finetune
+
+    fakes = jax.device_get(
+        ema_forward(state.g_ema_params, state.g_ema_buffers, sub))
+    reals = jax.device_get(sub["real_img"])
+    save_image_grid(
+        np.concatenate([reals, fakes], axis=0),
+        os.path.join(run_dir, f"fakes{step:06d}.png"), grid_cols=n_vis)
+    ckpt_dir = os.path.join(run_dir, f"ckpt-{step:06d}")
+    save_checkpoint_variables(ckpt_dir, jax.device_get(state))
+    print(f"snapshot: fakes{step:06d}.png + {ckpt_dir}", flush=True)

@@ -1,0 +1,157 @@
+"""Metrics harness tests: formulas, inception topology, folder pipeline."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import PIL.Image
+
+from pasta_tpu.metrics import (
+    FeatureStats, compute_fid, compute_kid, compute_is, compute_pr)
+from pasta_tpu.metrics.inception import (
+    inception_features, preprocess_images, random_inception_params,
+    import_inception_torch_state)
+from pasta_tpu.metrics.metric_main import DetectorRunner, calc_metric
+
+
+class TestFormulas:
+    def test_fid_identical_is_zero(self):
+        rng = np.random.RandomState(0)
+        mu = rng.randn(16)
+        a = rng.randn(64, 16)
+        sigma = np.cov(a, rowvar=False)
+        assert abs(compute_fid(mu, sigma, mu, sigma)) < 1e-6
+
+    def test_fid_positive_for_shifted(self):
+        rng = np.random.RandomState(0)
+        a = rng.randn(256, 8)
+        b = a + 3.0
+        fid = compute_fid(a.mean(0), np.cov(a, rowvar=False),
+                          b.mean(0), np.cov(b, rowvar=False))
+        assert 60 < fid < 90  # ~ sum of squared mean shifts = 8*9=72
+
+    def test_kid_same_distribution_near_zero(self):
+        # unbiased MMD estimator: fluctuates around 0 on same-distribution
+        # inputs, vs O(100) for a mean shift of 2
+        rng = np.random.RandomState(0)
+        a = rng.randn(500, 16)
+        assert abs(compute_kid(a, a.copy(), num_subsets=10)) < 0.1
+        assert compute_kid(a, a + 2.0, num_subsets=10) > 50
+
+    def test_is_uniform_is_one(self):
+        probs = np.full((100, 10), 0.1)
+        mean, std = compute_is(probs, num_splits=5)
+        assert abs(mean - 1.0) < 1e-5
+
+    def test_is_confident_is_high(self):
+        probs = np.eye(10)[np.arange(100) % 10]
+        probs = probs * 0.999 + 0.0001
+        mean, _ = compute_is(probs, num_splits=5)
+        assert mean > 5
+
+    def test_pr_identical(self):
+        rng = np.random.RandomState(0)
+        a = rng.randn(200, 8).astype(np.float32)
+        p, r = compute_pr(a, a.copy())
+        assert p == 1.0 and r == 1.0
+
+    def test_pr_disjoint(self):
+        rng = np.random.RandomState(0)
+        a = rng.randn(200, 8).astype(np.float32)
+        b = a + 100.0
+        p, r = compute_pr(a, b)
+        assert p == 0.0 and r == 0.0
+
+
+class TestFeatureStats:
+    def test_mean_cov_streaming(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(100, 8).astype(np.float32)
+        stats = FeatureStats(capture_mean_cov=True)
+        for i in range(0, 100, 7):
+            stats.append(x[i:i + 7])
+        mean, cov = stats.get_mean_cov()
+        np.testing.assert_allclose(mean, x.mean(0), atol=1e-5)
+        np.testing.assert_allclose(
+            cov, np.cov(x, rowvar=False, bias=True), atol=1e-4)
+
+    def test_max_items(self):
+        stats = FeatureStats(capture_all=True, max_items=10)
+        stats.append(np.ones((7, 4)))
+        stats.append(np.ones((7, 4)))
+        assert stats.num_items == 10
+        assert stats.get_all().shape == (10, 4)
+
+
+class TestInception:
+    def test_feature_shapes(self):
+        params = random_inception_params(0)
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(2, 299, 299, 3).astype(np.float32)
+            * 2 - 1)
+        feats, logits = inception_features(params, x, return_logits=True)
+        assert feats.shape == (2, 2048)
+        assert logits.shape == (2, 1000)
+        assert bool(jnp.all(jnp.isfinite(feats)))
+
+    def test_import_roundtrip(self):
+        """torch-layout keys -> tree matches the generated shape spec."""
+        params = random_inception_params(0)
+        flat = {}
+
+        def flatten(prefix, node):
+            for k, v in node.items():
+                key = f"{prefix}.{k}" if prefix else k
+                if isinstance(v, dict):
+                    flatten(key, v)
+                else:
+                    if key.endswith("conv.weight"):
+                        v = v.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+                    flat[key] = v
+
+        flatten("", params)
+        rebuilt = import_inception_torch_state(flat)
+        chk = jax.tree_util.tree_all(jax.tree.map(
+            lambda a, b: np.allclose(a, b), params, rebuilt))
+        assert chk
+
+    def test_preprocess(self):
+        x = np.full((1, 64, 64, 3), 255, np.uint8)
+        out = np.asarray(preprocess_images(jnp.asarray(x)))
+        assert out.shape == (1, 299, 299, 3)
+        np.testing.assert_allclose(out, 1.0, atol=1e-5)
+
+
+class TestFolderPipeline:
+    @pytest.fixture(scope="class")
+    def image_dirs(self, tmp_path_factory):
+        rng = np.random.RandomState(0)
+        root = tmp_path_factory.mktemp("imgs")
+        dir_a = root / "a"
+        dir_b = root / "b"
+        dir_a.mkdir()
+        dir_b.mkdir()
+        for i in range(8):
+            PIL.Image.fromarray(
+                rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+                    dir_a / f"{i}.png")
+            PIL.Image.fromarray(
+                rng.randint(0, 255, (64, 64, 3), np.uint8) // 4).save(
+                    dir_b / f"{i}.png")
+        return str(dir_a), str(dir_b)
+
+    def test_fid_folder_self_vs_other(self, image_dirs):
+        dir_a, dir_b = image_dirs
+        runner = DetectorRunner(random_inception_params(0), batch_size=4)
+        same = calc_metric("fid", runner, dir_a, dir_a)["results"]["fid"]
+        diff = calc_metric("fid", runner, dir_a, dir_b)["results"]["fid"]
+        assert abs(same) < 1e-3
+        assert diff > same + 1e-3
+
+    def test_is_metric(self, image_dirs):
+        dir_a, _ = image_dirs
+        runner = DetectorRunner(random_inception_params(0), batch_size=4)
+        res = calc_metric("inception_score", runner, dir_a, dir_a)["results"]
+        assert res["is_mean"] >= 1.0
