@@ -1,0 +1,286 @@
+"""On-device patch geometry: batched perspective warps, erosion, compositing.
+
+The north-star redesign (BASELINE.json): the reference runs ~30
+cv2.warpPerspective + erode calls per pair on the host
+(dataset.py normalize, :1010-1195); here the whole cut->paste->erode->
+composite chain is ONE jitted XLA program over [B, 10, ...] tensors.
+The host keeps only decode, keypoint parsing, and the 3x3 homography
+solves (microseconds).
+
+Semantics match cv2 defaults used by the reference:
+  warpPerspective — bilinear, BORDER_CONSTANT(0), pixel centers at
+      integer coordinates, dst->src mapping via the inverse matrix.
+  erode (k x k ones) — window minimum; out-of-image treated as +inf
+      (cv2 morphology default border), i.e. borders don't erode inward.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .geometry import get_crop_matrices, BODY_PARTS, SLEEVE_PARTS, LOWER_PARTS
+
+
+def warp_perspective(img, m_dst_to_src, out_h, out_w):
+    """Warp one NHWC-batched image by per-sample dst->src homographies.
+
+    Args:
+        img: [N, H, W, C].
+        m_dst_to_src: [N, 3, 3] mapping output pixel (x, y, 1) to source.
+        out_h, out_w: output size.
+
+    Returns [N, out_h, out_w, C]; zero outside the source.
+    """
+    n, h, w, c = img.shape
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    ones = jnp.ones_like(gx)
+    dst = jnp.stack([gx, gy, ones], axis=-1)                  # [Ho, Wo, 3]
+    src = jnp.einsum("nij,hwj->nhwi", m_dst_to_src.astype(jnp.float32), dst)
+    denom = src[..., 2]
+    sx = src[..., 0] / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    sy = src[..., 1] / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+
+    def gather(yc, xc):
+        inside = (
+            (xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
+        )[..., None]
+        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
+        batch_idx = jnp.arange(n)[:, None, None]
+        vals = img[batch_idx, yi, xi]
+        return jnp.where(inside, vals, 0.0)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def erode(mask, k):
+    """k x k window minimum over NHWC; borders treated as +inf (cv2).
+
+    Separable (1xk then kx1): k*2 compares/pixel instead of k^2."""
+    pad = k // 2
+    mask = lax.reduce_window(
+        mask, jnp.inf, lax.min, (1, 1, k, 1), (1, 1, 1, 1),
+        ((0, 0), (0, 0), (pad, k - 1 - pad), (0, 0)))
+    return lax.reduce_window(
+        mask, jnp.inf, lax.min, (1, k, 1, 1), (1, 1, 1, 1),
+        ((0, 0), (pad, k - 1 - pad), (0, 0), (0, 0)))
+
+
+def warp_perspective_multi(src_stack, src_idx, m_dst_to_src, out_h, out_w):
+    """Warp P parts from a stack of source images in ONE gather.
+
+    Args:
+        src_stack: [B, S, H, W, C] candidate source images.
+        src_idx:   [P] int — which source each part samples.
+        m_dst_to_src: [B, P, 3, 3].
+
+    Returns [B, P, out_h, out_w, C]; zero outside the source.
+    """
+    b, s, h, w, c = src_stack.shape
+    p = m_dst_to_src.shape[1]
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    dst = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)      # [Ho, Wo, 3]
+    src = jnp.einsum("bpij,hwj->bphwi", m_dst_to_src.astype(jnp.float32), dst)
+    denom = src[..., 2]
+    safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    sx = src[..., 0] / safe
+    sy = src[..., 1] / safe
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    src_sel = jnp.asarray(src_idx)[None, :, None, None]
+
+    def gather(yc, xc):
+        inside = (
+            (xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
+        )[..., None]
+        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
+        batch_idx = jnp.arange(b)[:, None, None, None]
+        vals = src_stack[batch_idx, src_sel, yi, xi]
+        return jnp.where(inside, vals, 0.0)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def normalize_patches_device(
+    upper_img, lower_img, upper_mask, lower_mask, sleeve_mask,
+    upper_cut_m, lower_cut_m, paste_m_inv, part_valid,
+    patch=128, erode_k=5, track_wo_sleeve=False,
+):
+    """Batched device version of the patch normalize/denormalize chain.
+
+    All inputs are jnp arrays:
+        upper_img/lower_img:   [B, H, W, 3] float (masked garment pixels).
+        upper_mask/lower_mask: [B, H, W, 1] float in {0, 255}.
+        sleeve_mask:           [B, H, W, 1] float in {0, 1} (zeros = none).
+        upper_cut_m/lower_cut_m: [B, 10, 3, 3] INVERSE cut transforms
+            (patch pixel -> image pixel) per part; arbitrary for invalid.
+        paste_m_inv:           [B, 10, 3, 3] patch -> person image.
+        part_valid:            [B, 10, 3] bools: (upper cut, lower cut,
+                               paste) validity.
+
+    Returns dict with norm_img [B,128,128,30], norm_img_lower [B,128,128,15],
+    denorm_upper_img / denorm_lower_img [B,H,W,3] and their masks.
+
+    The sleeve-mirroring and train-erasure steps stay host-side (they are
+    data-dependent branches on patch-sum scalars — cheap and rare).
+    """
+    b, h, w, _ = upper_img.shape
+    n_parts = len(BODY_PARTS)
+    lower_parts = list(LOWER_PARTS)
+
+    # --- all 15 cut warps as ONE gather ------------------------------------
+    # sources: 0 = non-sleeve-routed upper, 1 = sleeve-routed upper,
+    # 2 = lower; image (3ch) and {0,255} mask (1ch) packed per source.
+    nonsleeve = jnp.concatenate(
+        [upper_img * (1 - sleeve_mask), upper_mask * (1 - sleeve_mask)],
+        axis=-1)
+    sleeve_src = jnp.concatenate(
+        [upper_img * sleeve_mask, upper_mask * sleeve_mask], axis=-1)
+    lower_src = jnp.concatenate([lower_img, lower_mask], axis=-1)
+    src_stack = jnp.stack([nonsleeve, sleeve_src, lower_src], axis=1)
+
+    cut_src_idx = np.array(
+        [1 if i in SLEEVE_PARTS else 0 for i in range(n_parts)]
+        + [2] * len(lower_parts))
+    cut_m = jnp.concatenate(
+        [upper_cut_m, lower_cut_m[:, lower_parts]], axis=1)   # [B, 15, 3, 3]
+    cut_valid = jnp.concatenate(
+        [part_valid[:, :, 0], part_valid[:, lower_parts, 1]], axis=1
+    ).astype(jnp.float32)                                     # [B, 15]
+
+    cuts = warp_perspective_multi(src_stack, cut_src_idx, cut_m, patch, patch)
+    cuts = cuts * cut_valid[:, :, None, None, None]           # [B,15,p,p,4]
+
+    # --- all 15 paste warps as ONE gather ----------------------------------
+    paste_m = jnp.concatenate(
+        [paste_m_inv, paste_m_inv[:, lower_parts]], axis=1)
+    paste_valid = jnp.concatenate(
+        [part_valid[:, :, 2], part_valid[:, lower_parts, 2]], axis=1
+    ).astype(jnp.float32)
+    pasted = warp_perspective_multi(
+        cuts, np.arange(n_parts + len(lower_parts)), paste_m, h, w)
+
+    d_imgs = pasted[..., 0:3]
+    d_masks = pasted[..., 3:4]
+    d_masks = (
+        erode(d_masks.reshape(-1, h, w, 1), erode_k).reshape(d_masks.shape)
+        == 255).astype(jnp.float32)
+    d_masks = d_masks * (cut_valid * paste_valid)[:, :, None, None, None]
+
+    # --- sequential composite (order matters: later parts overwrite) -------
+    denorm_upper = jnp.zeros_like(upper_img)
+    denorm_upper_wo_sleeve = jnp.zeros_like(upper_img)
+    denorm_lower = jnp.zeros_like(upper_img)
+    for ii in range(n_parts):
+        m = d_masks[:, ii]
+        denorm_upper = d_imgs[:, ii] * m + denorm_upper * (1 - m)
+        if track_wo_sleeve and ii not in SLEEVE_PARTS:
+            denorm_upper_wo_sleeve = (
+                d_imgs[:, ii] * m + denorm_upper_wo_sleeve * (1 - m))
+    for jj in range(len(lower_parts)):
+        m = d_masks[:, n_parts + jj]
+        denorm_lower = d_imgs[:, n_parts + jj] * m + denorm_lower * (1 - m)
+
+    part_imgs = [cuts[:, i, :, :, 0:3] for i in range(n_parts)]
+    part_masks = [cuts[:, i, :, :, 3:4] for i in range(n_parts)]
+    part_imgs_lower = [cuts[:, n_parts + j, :, :, 0:3]
+                       for j in range(len(lower_parts))]
+    part_masks_lower = [cuts[:, n_parts + j, :, :, 3:4]
+                        for j in range(len(lower_parts))]
+
+    out = dict(
+        norm_img=jnp.concatenate(part_imgs, axis=-1),
+        norm_img_lower=jnp.concatenate(part_imgs_lower, axis=-1),
+        norm_clothes_masks=jnp.concatenate(part_masks, axis=-1),
+        norm_clothes_masks_lower=jnp.concatenate(part_masks_lower, axis=-1),
+        denorm_upper_img=denorm_upper,
+        denorm_lower_img=denorm_lower,
+    )
+    if track_wo_sleeve:
+        out["denorm_upper_img_wo_sleeve"] = denorm_upper_wo_sleeve
+    return out
+
+
+def bound_from_mask_top(mask):
+    """Device bound map: rows at/under the mask's topmost nonzero row,
+    {0, 255}; all-zero mask -> zeros (mask_to_bbox None semantics)."""
+    b, h, w = mask.shape[0], mask.shape[1], mask.shape[2]
+    present = jnp.any(mask > 0, axis=(2, 3))                 # [B, H]
+    row_idx = jnp.arange(h)
+    top = jnp.min(jnp.where(present, row_idx[None, :], h), axis=1)  # [B]
+    nonempty = jnp.any(present, axis=1)
+    bound = (row_idx[None, :] >= top[:, None]) & nonempty[:, None]
+    bound = bound.astype(jnp.float32)[:, :, None, None] * 255.0
+    return jnp.broadcast_to(bound, (b, h, w, 1))
+
+
+def zero_bound_above_mask_bottom(bound, mask):
+    """Zero bound rows above the mask's bottommost nonzero row (upper-mode
+    conditioning cut, dataset.py:2213-2219); empty mask leaves bound as-is."""
+    b, h = mask.shape[0], mask.shape[1]
+    present = jnp.any(mask > 0, axis=(2, 3))
+    row_idx = jnp.arange(h)
+    bottom = jnp.max(jnp.where(present, row_idx[None, :], -1), axis=1)  # [B]
+    nonempty = jnp.any(present, axis=1)
+    keep = (row_idx[None, :] >= bottom[:, None]) | ~nonempty[:, None]
+    return bound * keep.astype(jnp.float32)[:, :, None, None]
+
+
+def host_matrices_for_pair(upper_cut_kps, lower_cut_kps, paste_kps,
+                           patch=128, res=512):
+    """Solve the per-part homographies on host -> arrays for the device path.
+
+    Returns (upper_cut_m, lower_cut_m, paste_m_inv, part_valid), shapes
+    [10,3,3]x3 and [10,3] — the only host work besides decode/keypoints.
+    """
+    n_parts = len(BODY_PARTS)
+    upper_m = np.zeros((n_parts, 3, 3), np.float32)
+    lower_m = np.zeros((n_parts, 3, 3), np.float32)
+    paste_inv = np.zeros((n_parts, 3, 3), np.float32)
+    valid = np.zeros((n_parts, 3), bool)
+    for ii in range(n_parts):
+        mu, _ = get_crop_matrices(upper_cut_kps, ii, patch, patch, res, res)
+        ml, _ = get_crop_matrices(lower_cut_kps, ii, patch, patch, res, res)
+        _, pinv = get_crop_matrices(paste_kps, ii, patch, patch, res, res)
+        if mu is not None:
+            # device sampler needs dst->src: invert the cut transform
+            upper_m[ii] = np.linalg.inv(mu)
+            valid[ii, 0] = True
+        if ml is not None:
+            lower_m[ii] = np.linalg.inv(ml)
+            valid[ii, 1] = True
+        if pinv is not None:
+            # pinv maps patch->image; sampling the image at patch coords
+            # needs image->patch per OUTPUT pixel: that's the paste direction
+            # dst(image px) -> src(patch px) = inv(pinv)
+            paste_inv[ii] = np.linalg.inv(pinv)
+            valid[ii, 2] = True
+    return upper_m, lower_m, paste_inv, valid

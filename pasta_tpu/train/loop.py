@@ -149,6 +149,53 @@ def training_loop(
     return state
 
 
+def save_cross_pair_grid(cfg, state, dataset_root, run_dir, step, k=4,
+                         mode="upper", image_names=None):
+    """Cross-pair try-on grid: row person x col garment, generated by G_ema.
+
+    The reference composes this with a host-side warp compositor
+    (denorm_clothes, training_loop_fullbody.py:77-212); here the standard
+    test-mode preprocessing + serving path produce the same visualization.
+    """
+    from ..data import preprocess as pp
+    from ..data.testsets import to_model_inputs
+    from ..models import Generator
+
+    g = Generator(
+        z_dim=cfg.z_dim, c_dim=cfg.c_dim, w_dim=cfg.w_dim,
+        img_resolution=cfg.resolution, img_channels=3,
+        channel_base=cfg.channel_base, channel_max=cfg.channel_max,
+        conv_clamp=cfg.conv_clamp, use_noise=cfg.use_noise,
+        mapping_layers=cfg.mapping_layers)
+    if image_names is None:
+        image_names = sorted(
+            os.listdir(os.path.join(dataset_root, "image")))[:k]
+    people = [pp.load_person(dataset_root, n, with_garment_parsing=True)
+              for n in image_names]
+    items = []
+    for row in people:
+        for col in people:
+            items.append(pp.preprocess_pair(row, col, mode))
+    if cfg.resolution != 512:
+        from ..data.trainsets import _resize_item
+
+        items = [_resize_item(it, cfg.resolution) for it in items]
+    inputs, _ = to_model_inputs(items)
+    inputs = {key: jnp.asarray(v) for key, v in inputs.items()}
+
+    @jax.jit
+    def fwd(params, buffers, inputs):
+        _, finetune, _ = g.apply(
+            {"params": params, "buffers": buffers}, noise_mode="const",
+            **inputs)
+        return finetune
+
+    fakes = jax.device_get(
+        fwd(state.g_ema_params, state.g_ema_buffers, inputs))
+    save_image_grid(fakes, os.path.join(run_dir, f"tryon_grid{step:06d}.png"),
+                    grid_cols=k)
+
+
 def _save_snapshot(cfg, state, batch, run_dir, step):
     """EMA-generator sample grid + full-state checkpoint."""
     from .state import make_models

@@ -1,0 +1,115 @@
+"""Device warp path vs the cv2 host pipeline (golden numerics)."""
+
+import os
+
+import numpy as np
+import pytest
+import cv2
+import jax.numpy as jnp
+
+from pasta_tpu.data import preprocess as pp
+from pasta_tpu.data.device_warp import (
+    warp_perspective, erode, normalize_patches_device, host_matrices_for_pair)
+from pasta_tpu.data.geometry import get_perspective_transform
+
+FIXTURES = "/root/reference/test_datas"
+needs_fixtures = pytest.mark.skipif(
+    not os.path.isdir(FIXTURES), reason="fixture data not available")
+
+
+class TestWarpPerspective:
+    def test_matches_cv2(self):
+        rng = np.random.RandomState(0)
+        img = rng.rand(96, 80, 3).astype(np.float32) * 255
+        src = np.float32([[5, 8], [10, 90], [70, 85], [66, 4]])
+        dst = np.float32([[0, 0], [0, 128], [128, 128], [128, 0]])
+        m = get_perspective_transform(src, dst)  # image -> patch
+        ref = cv2.warpPerspective(img, m.astype(np.float32), (128, 128),
+                                  borderMode=cv2.BORDER_CONSTANT)
+        ours = np.asarray(warp_perspective(
+            jnp.asarray(img[None]), jnp.asarray(np.linalg.inv(m))[None],
+            128, 128))[0]
+        # identical bilinear sampling; differences only from float assoc
+        assert np.abs(ours - ref).max() < 1e-2
+
+    def test_out_of_bounds_zero(self):
+        img = jnp.ones((1, 8, 8, 1))
+        m = jnp.asarray(
+            np.array([[[1, 0, 100.0], [0, 1, 100.0], [0, 0, 1]]]))
+        out = np.asarray(warp_perspective(img, m, 8, 8))
+        assert out.sum() == 0
+
+
+class TestErode:
+    @pytest.mark.parametrize("k", [5, 8])
+    def test_matches_cv2(self, k):
+        rng = np.random.RandomState(0)
+        mask = (rng.rand(64, 64, 1) > 0.4).astype(np.float32) * 255
+        ref = cv2.erode(mask, np.ones((k, k), np.uint8), iterations=1)
+        if ref.ndim == 2:
+            ref = ref[..., None]
+        ours = np.asarray(erode(jnp.asarray(mask[None]), k))[0]
+        np.testing.assert_array_equal(ours, ref)
+
+
+@needs_fixtures
+class TestDevicePipelineParity:
+    def test_vs_host_pipeline(self):
+        from pasta_tpu.data.testsets import TryonPairDataset
+
+        ds = TryonPairDataset(FIXTURES, "test_pairs.txt", mode="full")
+        person_name, clothes_name = ds.pairs[0]
+        person = pp.load_person(FIXTURES, person_name)
+        clothes = pp.load_person(FIXTURES, clothes_name,
+                                 with_garment_parsing=True)
+
+        clothes_cls = pp.garment_class_masks(clothes.parsing)
+        upper_mask = clothes_cls["tops"] + clothes_cls["dresses"]
+        lower_mask = clothes_cls["skirt"] + clothes_cls["pants"]
+        upper_img = (upper_mask * clothes.image).astype(np.float32)
+        lower_img = (lower_mask * clothes.image).astype(np.float32)
+        upper_mask_rgb = np.repeat(upper_mask, 3, axis=2).astype(np.float32) * 255
+        lower_mask_rgb = np.repeat(lower_mask, 3, axis=2).astype(np.float32) * 255
+        sleeve = pp.sleeve_mask_from(clothes)
+
+        host = pp.normalize_patches(
+            upper_img.astype(np.uint8), lower_img.astype(np.uint8),
+            upper_mask_rgb.astype(np.uint8), lower_mask_rgb.astype(np.uint8),
+            sleeve, clothes.keypoints, clothes.keypoints, person.keypoints,
+            erode_k=5)
+
+        mu, ml, pinv, valid = host_matrices_for_pair(
+            clothes.keypoints, clothes.keypoints, person.keypoints)
+        sleeve_f = (sleeve if sleeve is not None
+                    else np.zeros_like(upper_mask)).astype(np.float32)
+        dev = normalize_patches_device(
+            jnp.asarray(upper_img[None]), jnp.asarray(lower_img[None]),
+            jnp.asarray(upper_mask_rgb[None, ..., 0:1]),
+            jnp.asarray(lower_mask_rgb[None, ..., 0:1]),
+            jnp.asarray(sleeve_f[None]),
+            jnp.asarray(mu[None]), jnp.asarray(ml[None]),
+            jnp.asarray(pinv[None]), jnp.asarray(valid[None]),
+            erode_k=5)
+
+        # Patch stacks: identical warps modulo uint8 rounding in the host
+        # path -> compare within a small per-pixel budget. (Skip the host's
+        # post-warp sleeve mirroring by comparing only parts that exist in
+        # both; mirroring happens after this stage on the host.)
+        dev_norm = np.asarray(dev["norm_img"])[0]
+        host_norm = host["norm_img"].astype(np.float32)
+        # mirrored parts may differ -> compare torso (0) and legs (6..9)
+        for part in [0, 6, 7, 8, 9]:
+            a = dev_norm[..., part * 3:(part + 1) * 3]
+            b = host_norm[..., part * 3:(part + 1) * 3]
+            frac_diff = np.mean(np.abs(a - b) > 2.0)
+            assert frac_diff < 0.02, f"part {part}: {frac_diff:.4f}"
+
+        # Denorm composites: mask-edge rounding differs (uint8 vs float);
+        # interiors must agree.
+        dev_du = np.asarray(dev["denorm_upper_img"])[0]
+        host_du = host["denorm_upper_img"].astype(np.float32)
+        frac_diff = np.mean(np.abs(dev_du - host_du) > 2.0)
+        assert frac_diff < 0.02, f"denorm upper: {frac_diff:.4f}"
+        # and the garment region must be substantial in both
+        assert (host_du.sum(axis=2) > 0).mean() > 0.01
+        assert (dev_du.sum(axis=2) > 0).mean() > 0.01

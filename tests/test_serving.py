@@ -1,0 +1,55 @@
+"""Serving pipeline: device-assembled generator inputs vs the host pipeline."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pasta_tpu.data import preprocess as pp
+from pasta_tpu.data.testsets import TryonPairDataset, to_model_inputs
+from pasta_tpu.serving import host_prepare, assemble_inputs_device
+
+FIXTURES = "/root/reference/test_datas"
+needs_fixtures = pytest.mark.skipif(
+    not os.path.isdir(FIXTURES), reason="fixture data not available")
+
+
+@needs_fixtures
+@pytest.mark.parametrize("mode", ["upper", "lower", "full"])
+def test_device_inputs_match_host(mode):
+    ds = TryonPairDataset(FIXTURES, "test_pairs.txt", mode=mode)
+    person_name, clothes_name = ds.pairs[1]
+    person = pp.load_person(
+        FIXTURES, person_name, with_garment_parsing=(mode == "lower"))
+    clothes = pp.load_person(
+        FIXTURES, clothes_name, with_garment_parsing=(mode != "lower"))
+
+    host_item = pp.preprocess_pair(person, clothes, mode)
+    host_inputs, _ = to_model_inputs([host_item])
+
+    prep = host_prepare(person, clothes, mode)
+    batch = {k: jnp.asarray(np.stack([v])) for k, v in prep.items()}
+    dev_inputs = jax.jit(
+        lambda b: assemble_inputs_device(b, mode))(batch)
+
+    for key, tol in [
+        ("pose", 0.02),               # bound rows may shift by ~1px
+        ("retain", 1e-4),
+        ("denorm_upper_input", None),
+        ("denorm_lower_input", None),
+        ("c", None),
+        ("denorm_upper_mask", None),
+        ("denorm_lower_mask", None),
+    ]:
+        a = np.asarray(dev_inputs[key])
+        b = np.asarray(host_inputs[key])
+        assert a.shape == b.shape, (key, a.shape, b.shape)
+        if tol is not None:
+            frac = np.mean(np.abs(a - b) > 1e-3)
+            assert frac < tol, f"{key}: frac mismatch {frac:.4f}"
+        else:
+            # warped channels: uint8-rounding + mask-edge differences only
+            frac = np.mean(np.abs(a - b) > 0.02)
+            assert frac < 0.03, f"{key}: frac mismatch {frac:.4f}"
