@@ -46,6 +46,8 @@ def parse_args(argv=None):
     p.add_argument("--snap", type=int, default=10, help="snapshot ticks")
     p.add_argument("--max-steps", type=int, default=None,
                    help="hard step cap (smoke/debug)")
+    p.add_argument("--trace", default=None,
+                   help="write a jax.profiler trace of the first steps to DIR")
     p.add_argument("--dry-run", action="store_true")
     return p.parse_args(argv)
 
@@ -65,6 +67,7 @@ def build_config(args):
         vgg_weight=args.vgg_weight,
         mask_weight=args.mask_weight,
         pl_weight=args.pl_weight,
+        contextual_weight=args.contextual_weight,
         use_noise=args.use_noise_const_branch,
         ada_target=args.target,
         use_ada=args.aug != "noaug",
@@ -133,11 +136,21 @@ def main(argv=None):
     if cfg.vgg_weight > 0 and vgg_params is None:
         print("WARNING: vgg_weight > 0 but no --vgg19 weights; "
               "VGG loss disabled")
-    training_loop(
-        cfg, dataset, run_dir, vgg_params=vgg_params,
-        resume_path=args.resume, num_workers=args.workers,
-        snapshot_ticks=args.snap, seed=args.seed,
-        total_steps=args.max_steps)
+    if args.trace:
+        import jax
+
+        with jax.profiler.trace(args.trace):
+            training_loop(
+                cfg, dataset, run_dir, vgg_params=vgg_params,
+                resume_path=args.resume, num_workers=args.workers,
+                snapshot_ticks=args.snap, seed=args.seed,
+                total_steps=args.max_steps or 3)
+    else:
+        training_loop(
+            cfg, dataset, run_dir, vgg_params=vgg_params,
+            resume_path=args.resume, num_workers=args.workers,
+            snapshot_ticks=args.snap, seed=args.seed,
+            total_steps=args.max_steps)
 
 
 if __name__ == "__main__":

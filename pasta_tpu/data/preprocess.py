@@ -172,12 +172,33 @@ def mask_to_bbox(mask):
 # patch normalization / denormalization
 
 
+_USE_NATIVE = os.environ.get("PASTA_USE_NATIVE", "0") == "1"
+
+
 def _warp(img, m, size):
+    if _USE_NATIVE:
+        from .. import native
+
+        if native.available():
+            out = native.warp_perspective_batch(
+                np.ascontiguousarray(img, np.uint8)[None],
+                np.linalg.inv(np.asarray(m, np.float64))[None],
+                size[1], size[0], num_threads=1)[0]
+            return out
     return cv2.warpPerspective(img, m, size, borderMode=cv2.BORDER_CONSTANT)
 
 
 def _erode_mask_255(mask_img, k):
     """Erode a {0,255} mask image and threshold back to {0,1} uint8."""
+    if _USE_NATIVE:
+        from .. import native
+
+        if native.available():
+            m = np.ascontiguousarray(mask_img, np.uint8)
+            squeeze = m.ndim == 3 and m.shape[2] == 1
+            chan = m[..., 0] if m.ndim == 3 else m
+            eroded = native.erode_batch(chan[None], k, num_threads=1)[0]
+            return (eroded[..., np.newaxis] == 255).astype(np.uint8)
     eroded = cv2.erode(mask_img, np.ones((k, k), np.uint8), iterations=1)
     if eroded.ndim == 2:
         eroded = eroded[..., np.newaxis]

@@ -42,6 +42,9 @@ class TrainConfig:
     mask_weight: float = 30.0
     pl_weight: float = 0.0          # path-length reg is disabled in the
                                     # reference fashion config (train.sh)
+    contextual_weight: float = 0.0
+    sanitize_grads: bool = True     # nan_to_num on grads
+                                    # (training_loop_fullbody.py:634-636)
     style_mixing_prob: float = 0.0
     d_reg_interval: int = 16
     g_reg_interval: int = 4

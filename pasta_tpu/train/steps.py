@@ -118,12 +118,20 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
             loss_vgg_ft = vgg_loss(
                 vgg_params, finetune, batch["real_img"]) * cfg.vgg_weight
 
+        loss_ctx = 0.0
+        if cfg.contextual_weight > 0 and vgg_params is not None:
+            from ..losses.contextual import contextual_loss
+
+            loss_ctx = contextual_loss(
+                vgg_params, finetune, batch["real_img"]) * cfg.contextual_weight
+
         loss = (
             (loss_gmain + loss_gmain_ft) / 2
             + (loss_l1 + loss_l1_ft) / 2
             + (loss_vgg + loss_vgg_ft) / 2
             + loss_mask
             + loss_g_parsing
+            + loss_ctx
         )
         metrics = dict(
             g_loss=loss_gmain, g_loss_finetune=loss_gmain_ft,
@@ -205,9 +213,19 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
         keys_d = dict(noise=ks[3], aug1=ks[4], aug2=ks[5], aug3=ks[6])
         keys_dp = dict(noise=ks[7])
 
+        # NOTE on style mixing: the reference gates it by style_mixing_prob
+        # (loss_fullbody.py:87-91) but ships prob=0 AND z_dim=0 — with no z
+        # input the mixed mapping output is identical to the original, so
+        # mixing is a structural no-op for this model family; intentionally
+        # not implemented.
+
         # --- G phase ---
         (g_loss, (new_g_buffers, g_metrics)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.g_params, state, batch, keys_g)
+        if cfg.sanitize_grads:
+            g_grads = jax.tree.map(
+                lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5),
+                g_grads)
         g_updates, g_opt = g_opt_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
         state = state.replace(
@@ -218,6 +236,10 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
             d_loss_fn, has_aux=True)(
                 state.d_params, state.g_params, state.g_buffers, state, batch,
                 keys_d, do_r1_d)
+        if cfg.sanitize_grads:
+            d_grads = jax.tree.map(
+                lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5),
+                d_grads)
         d_updates, d_opt = d_opt_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
         state = state.replace(d_params=d_params, d_opt=d_opt)
