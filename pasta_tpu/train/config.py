@@ -52,6 +52,11 @@ class TrainConfig:
     # SURVEY.md §7 known bugs; training_loop_fullbody.py:468-470), training
     # it with two optimizers per step. Off by default; on for exact parity.
     double_d_parsing: bool = False
+    # Freeze-D (reference DiscriminatorBlock freeze_layers,
+    # networks.py:473-479 + train.py freezed): freeze the first N conv
+    # layers of the image D (counting fromrgb/conv0/conv1/skip from the
+    # highest resolution down, like first_layer_idx).
+    freeze_d_layers: int = 0
 
     # EMA
     ema_kimg: float = 10.0

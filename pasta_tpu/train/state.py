@@ -52,15 +52,53 @@ def make_models(cfg: TrainConfig):
     return g, d, dp
 
 
-def make_optimizers(cfg: TrainConfig):
+def _freeze_d_mask(cfg: TrainConfig, d_params):
+    """Trainability mask for freeze-D: first `freeze_d_layers` layers of the
+    image D (layer order = fromrgb, conv0, conv1, skip from the top
+    resolution down — reference first_layer_idx accounting,
+    networks.py:471-479)."""
+    import math as _math
+
+    res_log2 = int(_math.log2(cfg.resolution))
+    layer_idx = {}
+    idx = 0
+    for res in [2 ** i for i in range(res_log2, 2, -1)]:
+        block = f"b{res}"
+        names = (["fromrgb"] if res == cfg.resolution else []) + \
+            ["conv0", "conv1", "skip"]
+        for name in names:
+            layer_idx[(block, name)] = idx
+            idx += 1
+
+    def mask_fn(path, leaf):
+        keys = tuple(str(getattr(k, "key", k)) for k in path)
+        if len(keys) >= 2 and (keys[0], keys[1]) in layer_idx:
+            return layer_idx[(keys[0], keys[1])] >= cfg.freeze_d_layers
+        return True
+
+    import jax as _jax
+
+    return _jax.tree_util.tree_map_with_path(mask_fn, d_params)
+
+
+def make_optimizers(cfg: TrainConfig, d_params=None):
     """One Adam per module, lazy-reg scaled where the module has a reg phase
-    (training_loop_fullbody.py:466-487)."""
+    (training_loop_fullbody.py:466-487); optional freeze-D masking."""
     g_h = cfg.lazy_reg_scale(cfg.g_reg_interval) if cfg.pl_weight != 0 else \
         dict(lr=cfg.lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2)
     d_h = cfg.lazy_reg_scale(cfg.d_reg_interval) if cfg.r1_gamma != 0 else \
         dict(lr=cfg.lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2)
     mk = lambda h: optax.adam(h["lr"], b1=h["b1"], b2=h["b2"], eps=cfg.adam_eps)
-    return mk(g_h), mk(d_h), mk(d_h)
+    d_tx = mk(d_h)
+    if cfg.freeze_d_layers > 0 and d_params is not None:
+        # NB: optax.masked passes masked-out updates through UNCHANGED —
+        # freezing needs the update explicitly zeroed.
+        labels = jax.tree.map(
+            lambda train: "train" if train else "freeze",
+            _freeze_d_mask(cfg, d_params))
+        d_tx = optax.multi_transform(
+            {"train": d_tx, "freeze": optax.set_to_zero()}, labels)
+    return mk(g_h), d_tx, mk(d_h)
 
 
 def example_batch(cfg: TrainConfig, rng: np.random.RandomState):
@@ -82,7 +120,6 @@ def example_batch(cfg: TrainConfig, rng: np.random.RandomState):
 
 def init_state(cfg: TrainConfig, key) -> TrainState:
     g, d, dp = make_models(cfg)
-    g_opt_tx, d_opt_tx, dp_opt_tx = make_optimizers(cfg)
     rng = np.random.RandomState(0)
     batch = example_batch(cfg, rng)
     n = cfg.batch_size
@@ -107,6 +144,7 @@ def init_state(cfg: TrainConfig, key) -> TrainState:
         return g_vars, d_vars, dp_vars
 
     g_vars, d_vars, dp_vars = jax.jit(_init)()
+    g_opt_tx, d_opt_tx, dp_opt_tx = make_optimizers(cfg, d_vars["params"])
     g_params = g_vars["params"]
     g_buffers = g_vars.get("buffers", {})
     return TrainState(

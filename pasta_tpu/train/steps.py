@@ -80,7 +80,12 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
     do_r1_* are static; jit compiles (at most) 4 variants.
     """
     g, d, dp = make_models(cfg)
-    g_opt_tx, d_opt_tx, dp_opt_tx = make_optimizers(cfg)
+    _opt_cache = {}
+
+    def _get_opts(d_params):
+        if "opts" not in _opt_cache:
+            _opt_cache["opts"] = make_optimizers(cfg, d_params)
+        return _opt_cache["opts"]
 
     def g_loss_fn(g_params, state: TrainState, batch, keys):
         img, finetune, pred_parsing, new_buffers = _run_g(
@@ -208,6 +213,7 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
     @functools.partial(jax.jit, static_argnames=("do_r1_d", "do_r1_dp"))
     def train_step(state: TrainState, batch, key, do_r1_d: bool = False,
                    do_r1_dp: bool = False):
+        g_opt_tx, d_opt_tx, dp_opt_tx = _get_opts(state.d_params)
         ks = jax.random.split(key, 12)
         keys_g = dict(noise=ks[0], aug1=ks[1], aug2=ks[2])
         keys_d = dict(noise=ks[3], aug1=ks[4], aug2=ks[5], aug3=ks[6])

@@ -1,0 +1,90 @@
+"""Training extras: freeze-D masking, npz checkpoint roundtrip, PPL."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pasta_tpu.train.config import smoke_config
+from pasta_tpu.train.state import init_state, example_batch
+from pasta_tpu.train.steps import make_train_step
+from pasta_tpu.io.npz_ckpt import save_npz_variables, load_npz_variables
+from pasta_tpu.metrics.ppl import compute_ppl, slerp, lerp
+
+
+def _small_cfg(**kw):
+    base = smoke_config(1)
+    return dataclasses.replace(
+        base, batch_size=2, data_axis_size=1, mbstd_group_size=2,
+        resolution=64, **kw)
+
+
+class TestFreezeD:
+    @pytest.mark.slow
+    def test_frozen_layers_unchanged(self):
+        cfg = _small_cfg(freeze_d_layers=3, use_ada=False)
+        state = init_state(cfg, jax.random.PRNGKey(0))
+        step = make_train_step(cfg)
+        batch = {k: jnp.asarray(v)
+                 for k, v in example_batch(cfg, np.random.RandomState(0)).items()}
+        before = jax.device_get(state.d_params)
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+        after = jax.device_get(state.d_params)
+        # layers 0,1,2 = b64.fromrgb, b64.conv0, b64.conv1 must be frozen
+        for name in ["fromrgb", "conv0", "conv1"]:
+            np.testing.assert_array_equal(
+                before["b64"][name]["weight"], after["b64"][name]["weight"])
+        # layer 3 (b64.skip) and deeper blocks must have moved
+        assert not np.allclose(
+            before["b64"]["skip"]["weight"], after["b64"]["skip"]["weight"])
+        assert not np.allclose(
+            before["b32"]["conv0"]["weight"], after["b32"]["conv0"]["weight"])
+
+
+class TestNpzCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        tree = {
+            "params": {"layer.0": {"weight": np.random.randn(3, 4)},
+                       "b": {"bias": np.zeros(5)}},
+            "buffers": {"w_avg": np.ones(7)},
+        }
+        path = str(tmp_path / "ckpt.npz")
+        save_npz_variables(path, tree)
+        loaded = load_npz_variables(path)
+        np.testing.assert_array_equal(
+            loaded["params"]["layer.0"]["weight"],
+            tree["params"]["layer.0"]["weight"])
+        np.testing.assert_array_equal(loaded["buffers"]["w_avg"],
+                                      tree["buffers"]["w_avg"])
+
+
+class TestPPL:
+    def test_interp_endpoints(self):
+        a = jnp.asarray(np.random.RandomState(0).randn(4, 8).astype(np.float32))
+        b = jnp.asarray(np.random.RandomState(1).randn(4, 8).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(lerp(a, b, 0.0)), np.asarray(a))
+        np.testing.assert_allclose(np.asarray(lerp(a, b, 1.0)), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(slerp(a, b, jnp.zeros((4, 1)))), np.asarray(a),
+            rtol=1e-5, atol=1e-5)
+
+    def test_ppl_linear_synth(self):
+        """For a linear 'generator', PPL == |J|^2-style constant."""
+        w = np.random.RandomState(0).randn(8, 12).astype(np.float32)
+
+        def synth(codes):
+            return (codes @ w).reshape(codes.shape[0], 2, 2, 3)
+
+        def feats(imgs):
+            return imgs.reshape(imgs.shape[0], -1)
+
+        rng = np.random.RandomState(2)
+        a = jnp.asarray(rng.randn(64, 8).astype(np.float32))
+        b = jnp.asarray(rng.randn(64, 8).astype(np.float32))
+        ppl = compute_ppl(synth, feats, a, b, jax.random.PRNGKey(0),
+                          epsilon=1e-3)
+        # d = |(b-a) eps W|^2 / eps^2 = |(b-a) W|^2 — finite, positive
+        assert np.isfinite(ppl) and ppl > 0
