@@ -39,8 +39,10 @@ def _fixture_host_batch():
         items.append(host_prepare(person, clothes, "upper"))
     while len(items) < BATCH:
         items.append(items[-1])
-    return {k: jnp.asarray(np.stack([it[k] for it in items]))
-            for k in items[0]}
+    tiled = all(bool(it["tiles_fit"]) for it in items)
+    batch = {k: jnp.asarray(np.stack([it[k] for it in items]))
+             for k in items[0] if k != "tiles_fit"}
+    return batch, tiled
 
 
 def main():
@@ -51,10 +53,10 @@ def main():
     use_fixtures = os.path.isdir(FIXTURES)
 
     if use_fixtures:
-        host_batch = _fixture_host_batch()
+        host_batch, tiled = _fixture_host_batch()
 
         def single(variables, host_batch):
-            inputs = assemble_inputs_device(host_batch, "upper")
+            inputs = assemble_inputs_device(host_batch, "upper", tiled=tiled)
             img, finetune, parsing = model.apply(
                 variables, noise_mode="const", **inputs)
             return finetune

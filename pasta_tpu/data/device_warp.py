@@ -38,12 +38,15 @@ def warp_perspective(img, m_dst_to_src, out_h, out_w):
     ys = jnp.arange(out_h, dtype=jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    ones = jnp.ones_like(gx)
-    dst = jnp.stack([gx, gy, ones], axis=-1)                  # [Ho, Wo, 3]
-    src = jnp.einsum("nij,hwj->nhwi", m_dst_to_src.astype(jnp.float32), dst)
-    denom = src[..., 2]
-    sx = src[..., 0] / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    sy = src[..., 1] / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    # Coordinates via explicit fp32 multiply-adds on the VPU: an einsum here
+    # would route through the MXU at reduced precision (~2px error at 512).
+    m = m_dst_to_src.astype(jnp.float32)[:, :, :, None, None]  # [N,3,3,1,1]
+    sx_n = m[:, 0, 0] * gx + m[:, 0, 1] * gy + m[:, 0, 2]
+    sy_n = m[:, 1, 0] * gx + m[:, 1, 1] * gy + m[:, 1, 2]
+    denom = m[:, 2, 0] * gx + m[:, 2, 1] * gy + m[:, 2, 2]
+    safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    sx = sx_n / safe
+    sy = sy_n / safe
 
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
@@ -97,12 +100,15 @@ def warp_perspective_multi(src_stack, src_idx, m_dst_to_src, out_h, out_w):
     ys = jnp.arange(out_h, dtype=jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    dst = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)      # [Ho, Wo, 3]
-    src = jnp.einsum("bpij,hwj->bphwi", m_dst_to_src.astype(jnp.float32), dst)
-    denom = src[..., 2]
+    # Explicit fp32 multiply-adds (VPU): einsum would hit the MXU at reduced
+    # precision — ~2px coordinate quantization at 512 scale.
+    m = m_dst_to_src.astype(jnp.float32)[:, :, :, :, None, None]  # [B,P,3,3,1,1]
+    sx_n = m[:, :, 0, 0] * gx + m[:, :, 0, 1] * gy + m[:, :, 0, 2]
+    sy_n = m[:, :, 1, 0] * gx + m[:, :, 1, 1] * gy + m[:, :, 1, 2]
+    denom = m[:, :, 2, 0] * gx + m[:, :, 2, 1] * gy + m[:, :, 2, 2]
     safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    sx = src[..., 0] / safe
-    sy = src[..., 1] / safe
+    sx = sx_n / safe
+    sy = sy_n / safe
 
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
@@ -284,3 +290,150 @@ def host_matrices_for_pair(upper_cut_kps, lower_cut_kps, paste_kps,
             paste_inv[ii] = np.linalg.inv(pinv)
             valid[ii, 2] = True
     return upper_m, lower_m, paste_inv, valid
+
+
+# ---------------------------------------------------------------------------
+# Tiled paste path: warp each part into a fixed TILE around its destination
+# quad instead of the full 512^2 canvas. The paste gather is the serving
+# bottleneck (latency-bound XLA gathers); tiles cut gathered pixels by
+# (TILE/RES)^2. Host guarantees fit (quad bbox + erode margin inside the
+# tile) and falls back to the full-canvas program otherwise — two compiled
+# variants, dispatched per batch.
+
+PASTE_TILE = 256
+
+
+def paste_tile_layout(paste_m_inv_parts, part_valid_paste, res=512,
+                      tile=PASTE_TILE, margin=8, patch=128):
+    """Host: per-part tile offsets + fit check.
+
+    Args:
+        paste_m_inv_parts: [10, 3, 3] patch->image transforms (or zeros).
+        part_valid_paste:  [10] bools.
+
+    Returns (offsets [10, 2] int32 (y, x), fits: bool).
+    """
+    corners = np.array(
+        [[0, 0, 1], [0, patch, 1], [patch, patch, 1], [patch, 0, 1]],
+        np.float64)
+    offsets = np.zeros((len(paste_m_inv_parts), 2), np.int32)
+    fits = True
+    for i, m in enumerate(paste_m_inv_parts):
+        if not part_valid_paste[i]:
+            continue
+        # The device matrices map image(dst) -> patch(src); the destination
+        # quad needs the forward patch -> image direction.
+        m_fwd = np.linalg.inv(np.asarray(m, np.float64))
+        proj = corners @ m_fwd.T
+        xy = proj[:, :2] / np.maximum(np.abs(proj[:, 2:3]), 1e-9) * np.sign(
+            proj[:, 2:3])
+        x0 = np.clip(np.floor(xy[:, 0].min()) - margin, 0, res)
+        x1 = np.clip(np.ceil(xy[:, 0].max()) + margin, 0, res)
+        y0 = np.clip(np.floor(xy[:, 1].min()) - margin, 0, res)
+        y1 = np.clip(np.ceil(xy[:, 1].max()) + margin, 0, res)
+        if (x1 - x0) > tile or (y1 - y0) > tile:
+            fits = False
+        oy = int(np.clip(y0, 0, res - tile))
+        ox = int(np.clip(x0, 0, res - tile))
+        offsets[i] = (oy, ox)
+    return offsets, fits
+
+
+def normalize_patches_device_tiled(
+    upper_img, lower_img, upper_mask, lower_mask, sleeve_mask,
+    upper_cut_m, lower_cut_m, paste_m_inv, part_valid, tile_offsets,
+    patch=128, erode_k=5, track_wo_sleeve=False, tile=PASTE_TILE,
+):
+    """Tiled-paste variant of normalize_patches_device.
+
+    tile_offsets: [B, 15, 2] int32 (y, x) tile origins from
+    paste_tile_layout (upper parts then lower parts). Callers must have
+    checked `fits`; quads exceeding their tile get cropped.
+    """
+    b, h, w, _ = upper_img.shape
+    n_parts = len(BODY_PARTS)
+    lower_parts = list(LOWER_PARTS)
+    n_all = n_parts + len(lower_parts)
+
+    nonsleeve = jnp.concatenate(
+        [upper_img * (1 - sleeve_mask), upper_mask * (1 - sleeve_mask)],
+        axis=-1)
+    sleeve_src = jnp.concatenate(
+        [upper_img * sleeve_mask, upper_mask * sleeve_mask], axis=-1)
+    lower_src = jnp.concatenate([lower_img, lower_mask], axis=-1)
+    src_stack = jnp.stack([nonsleeve, sleeve_src, lower_src], axis=1)
+
+    cut_src_idx = np.array(
+        [1 if i in SLEEVE_PARTS else 0 for i in range(n_parts)]
+        + [2] * len(lower_parts))
+    cut_m = jnp.concatenate(
+        [upper_cut_m, lower_cut_m[:, lower_parts]], axis=1)
+    cut_valid = jnp.concatenate(
+        [part_valid[:, :, 0], part_valid[:, lower_parts, 1]], axis=1
+    ).astype(jnp.float32)
+    cuts = warp_perspective_multi(src_stack, cut_src_idx, cut_m, patch, patch)
+    cuts = cuts * cut_valid[:, :, None, None, None]
+
+    # Fold the tile translation into the dst->src matrices:
+    # dst = t + off  =>  m_tile = m @ T(off).
+    paste_m = jnp.concatenate(
+        [paste_m_inv, paste_m_inv[:, lower_parts]], axis=1)  # [B, 15, 3, 3]
+    off = tile_offsets.astype(jnp.float32)
+    t_off = jnp.tile(jnp.eye(3), (b, n_all, 1, 1))
+    t_off = t_off.at[:, :, 0, 2].set(off[:, :, 1])  # x
+    t_off = t_off.at[:, :, 1, 2].set(off[:, :, 0])  # y
+    paste_m_tile = paste_m @ t_off
+    paste_valid = jnp.concatenate(
+        [part_valid[:, :, 2], part_valid[:, lower_parts, 2]], axis=1
+    ).astype(jnp.float32)
+
+    pasted = warp_perspective_multi(
+        cuts, np.arange(n_all), paste_m_tile, tile, tile)   # [B,15,T,T,4]
+    t_imgs = pasted[..., 0:3]
+    t_masks = pasted[..., 3:4]
+    t_masks = (
+        erode(t_masks.reshape(-1, tile, tile, 1), erode_k).reshape(
+            t_masks.shape) == 255).astype(jnp.float32)
+    t_masks = t_masks * (cut_valid * paste_valid)[:, :, None, None, None]
+
+    def composite_one(canvas, tile_img, tile_mask, off_yx):
+        region = jax.lax.dynamic_slice(
+            canvas, (off_yx[0], off_yx[1], 0), (tile, tile, 3))
+        region = tile_img * tile_mask + region * (1 - tile_mask)
+        return jax.lax.dynamic_update_slice(
+            canvas, region, (off_yx[0], off_yx[1], 0))
+
+    composite = jax.vmap(composite_one)
+
+    denorm_upper = jnp.zeros_like(upper_img)
+    denorm_upper_wo_sleeve = jnp.zeros_like(upper_img)
+    denorm_lower = jnp.zeros_like(upper_img)
+    for ii in range(n_parts):
+        denorm_upper = composite(
+            denorm_upper, t_imgs[:, ii], t_masks[:, ii], tile_offsets[:, ii])
+        if track_wo_sleeve and ii not in SLEEVE_PARTS:
+            denorm_upper_wo_sleeve = composite(
+                denorm_upper_wo_sleeve, t_imgs[:, ii], t_masks[:, ii],
+                tile_offsets[:, ii])
+    for jj in range(len(lower_parts)):
+        k = n_parts + jj
+        denorm_lower = composite(
+            denorm_lower, t_imgs[:, k], t_masks[:, k], tile_offsets[:, k])
+
+    out = dict(
+        norm_img=jnp.concatenate(
+            [cuts[:, i, :, :, 0:3] for i in range(n_parts)], axis=-1),
+        norm_img_lower=jnp.concatenate(
+            [cuts[:, n_parts + j, :, :, 0:3]
+             for j in range(len(lower_parts))], axis=-1),
+        norm_clothes_masks=jnp.concatenate(
+            [cuts[:, i, :, :, 3:4] for i in range(n_parts)], axis=-1),
+        norm_clothes_masks_lower=jnp.concatenate(
+            [cuts[:, n_parts + j, :, :, 3:4]
+             for j in range(len(lower_parts))], axis=-1),
+        denorm_upper_img=denorm_upper,
+        denorm_lower_img=denorm_lower,
+    )
+    if track_wo_sleeve:
+        out["denorm_upper_img_wo_sleeve"] = denorm_upper_wo_sleeve
+    return out

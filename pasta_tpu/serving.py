@@ -26,8 +26,9 @@ import jax.numpy as jnp
 
 from .data import preprocess as pp
 from .data.device_warp import (
-    normalize_patches_device, host_matrices_for_pair, erode,
-    bound_from_mask_top, zero_bound_above_mask_bottom)
+    normalize_patches_device, normalize_patches_device_tiled,
+    host_matrices_for_pair, erode, bound_from_mask_top,
+    zero_bound_above_mask_bottom, paste_tile_layout, LOWER_PARTS)
 from .models import Generator
 
 
@@ -63,6 +64,10 @@ def host_prepare(person, clothes, mode, use_sleeve_mask=True):
 
     mu, ml, pinv, valid = host_matrices_for_pair(
         upper_src.keypoints, lower_src.keypoints, person.keypoints)
+    tile_offsets10, tiles_fit = paste_tile_layout(pinv, valid[:, 2])
+    # offsets for the 15-slot (upper x10 + lower x5) device layout
+    tile_offsets = np.concatenate(
+        [tile_offsets10, tile_offsets10[list(LOWER_PARTS)]], axis=0)
 
     # Host-side conditioning scalars (keypoint/bbox logic, preprocess_pair
     # parity). The warp-dependent parts of the bound (upper garment bottom,
@@ -125,6 +130,8 @@ def host_prepare(person, clothes, mode, use_sleeve_mask=True):
             np.float32),
         label=label.astype(np.float32),
         bound=bound.astype(np.float32),
+        tile_offsets=tile_offsets.astype(np.int32),
+        tiles_fit=np.asarray(tiles_fit),
         dress_transfer=np.asarray(
             0.0 if (mode == "full" and clothes_cls["dresses"].sum() > 0)
             else 1.0, np.float32),
@@ -181,15 +188,28 @@ def _zero_conflicts(norm):
     return norm
 
 
-def assemble_inputs_device(host: Dict[str, jnp.ndarray], mode: str):
-    """Device: warps + assembly -> generator input dict. Jit-traceable."""
+def assemble_inputs_device(host: Dict[str, jnp.ndarray], mode: str,
+                           tiled: bool = False):
+    """Device: warps + assembly -> generator input dict. Jit-traceable.
+
+    tiled=True uses the fixed-tile paste path (4x less gather work); callers
+    must have verified host["tiles_fit"] for every batch item.
+    """
     erode_k = 8 if mode == "upper" else 5
-    norm = normalize_patches_device(
-        host["upper_img"], host["lower_img"],
-        host["upper_mask"], host["lower_mask"], host["sleeve"],
-        host["upper_cut_m"], host["lower_cut_m"], host["paste_m_inv"],
-        host["part_valid"], erode_k=erode_k,
-        track_wo_sleeve=(mode == "upper"))
+    if tiled:
+        norm = normalize_patches_device_tiled(
+            host["upper_img"], host["lower_img"],
+            host["upper_mask"], host["lower_mask"], host["sleeve"],
+            host["upper_cut_m"], host["lower_cut_m"], host["paste_m_inv"],
+            host["part_valid"], host["tile_offsets"], erode_k=erode_k,
+            track_wo_sleeve=(mode == "upper"))
+    else:
+        norm = normalize_patches_device(
+            host["upper_img"], host["lower_img"],
+            host["upper_mask"], host["lower_mask"], host["sleeve"],
+            host["upper_cut_m"], host["lower_cut_m"], host["paste_m_inv"],
+            host["part_valid"], erode_k=erode_k,
+            track_wo_sleeve=(mode == "upper"))
     if mode in ("upper", "lower"):
         norm = _zero_conflicts(norm)
     norm = _mirror_sleeves(norm)
@@ -249,9 +269,9 @@ class TryonPipeline:
         self.mode = mode
         self.noise_mode = noise_mode
 
-        @functools.partial(jax.jit, static_argnames=())
-        def _run(variables, host_batch):
-            inputs = assemble_inputs_device(host_batch, mode)
+        @functools.partial(jax.jit, static_argnames=("tiled",))
+        def _run(variables, host_batch, tiled=False):
+            inputs = assemble_inputs_device(host_batch, mode, tiled=tiled)
             img, finetune, parsing = self.model.apply(
                 variables, noise_mode=noise_mode, **inputs)
             return finetune
@@ -262,8 +282,10 @@ class TryonPipeline:
         return host_prepare(person, clothes, self.mode, use_sleeve_mask)
 
     def run_batch(self, host_items):
+        # tiled fast path when every item's part quads fit their tiles
+        tiled = all(bool(it["tiles_fit"]) for it in host_items)
         batch = {
             k: jnp.asarray(np.stack([it[k] for it in host_items]))
-            for k in host_items[0]
+            for k in host_items[0] if k != "tiles_fit"
         }
-        return self._run(self.variables, batch)
+        return self._run(self.variables, batch, tiled=tiled)

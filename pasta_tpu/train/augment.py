@@ -302,7 +302,10 @@ def augment_pipe(images, p, key, cfg: AugmentConfig, debug_percentile=None):
         gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
         ones = jnp.ones_like(gx)
         coords = jnp.stack([gx, gy, ones], axis=-1)  # [H2, W2, 3]
-        src = jnp.einsum("nij,hwj->nhwi", g, coords)  # normalized in-coords
+        # precision=HIGHEST: the default MXU precision would quantize
+        # normalized coords by ~2^-8 (~4px at the 2x-upsampled canvas).
+        src = jnp.einsum("nij,hwj->nhwi", g, coords,
+                         precision=jax.lax.Precision.HIGHEST)
         sx = (src[..., 0] + 1) * w2 / 2 - 0.5
         sy = (src[..., 1] + 1) * h2 / 2 - 0.5
         up = _bilinear_sample_mirror(up, sx, sy)
@@ -356,7 +359,8 @@ def augment_pipe(images, p, key, cfg: AugmentConfig, debug_percentile=None):
     if used_color:
         if channels == 3:
             images = jnp.einsum(
-                "nij,nhwj->nhwi", c_mat[:, :3, :3], images) + c_mat[:, None, None, :3, 3]
+                "nij,nhwj->nhwi", c_mat[:, :3, :3], images,
+                precision=jax.lax.Precision.HIGHEST) + c_mat[:, None, None, :3, 3]
         elif channels == 1:
             cm = jnp.mean(c_mat[:, :3, :], axis=1, keepdims=True)
             images = images * jnp.sum(cm[:, :, :3], axis=2)[:, :, None, None] \

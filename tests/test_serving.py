@@ -53,3 +53,35 @@ def test_device_inputs_match_host(mode):
             # warped channels: uint8-rounding + mask-edge differences only
             frac = np.mean(np.abs(a - b) > 0.02)
             assert frac < 0.03, f"{key}: frac mismatch {frac:.4f}"
+
+
+@needs_fixtures
+def test_tiled_paste_matches_full():
+    """Tiled paste path == full-canvas path up to erode-threshold edges."""
+    ds = TryonPairDataset(FIXTURES, "test_pairs.txt", mode="upper")
+    items = []
+    for clothes_name, person_name in ds.pairs[:4]:
+        person = pp.load_person(FIXTURES, person_name)
+        clothes = pp.load_person(FIXTURES, clothes_name,
+                                 with_garment_parsing=True)
+        items.append(host_prepare(person, clothes, "upper"))
+    assert all(bool(it["tiles_fit"]) for it in items)
+    batch = {k: jnp.asarray(np.stack([it[k] for it in items]))
+             for k in items[0] if k != "tiles_fit"}
+    full = jax.jit(lambda b: assemble_inputs_device(b, "upper", tiled=False))(batch)
+    tiled = jax.jit(lambda b: assemble_inputs_device(b, "upper", tiled=True))(batch)
+    # style patches and kept stream must be exact; composites may differ in
+    # a thin band where the exact ==255 erode threshold flips under
+    # equivalent-but-different float paths (overlapping parts swap by ~1px).
+    np.testing.assert_array_equal(np.asarray(full["c"]), np.asarray(tiled["c"]))
+    np.testing.assert_array_equal(
+        np.asarray(full["denorm_lower_input"]),
+        np.asarray(tiled["denorm_lower_input"]))
+    frac = np.mean(np.abs(
+        np.asarray(full["denorm_upper_input"])
+        - np.asarray(tiled["denorm_upper_input"])) > 1e-3)
+    assert frac < 0.03, frac
+    mask_frac = np.mean(np.abs(
+        np.asarray(full["denorm_upper_mask"])
+        - np.asarray(tiled["denorm_upper_mask"])) > 0)
+    assert mask_frac < 0.005, mask_frac
