@@ -46,6 +46,8 @@ def parse_args(argv=None):
     p.add_argument("--snap", type=int, default=10, help="snapshot ticks")
     p.add_argument("--max-steps", type=int, default=None,
                    help="hard step cap (smoke/debug)")
+    p.add_argument("--split-phases", action="store_true",
+                   help="compile one program per phase (large configs)")
     p.add_argument("--trace", default=None,
                    help="write a jax.profiler trace of the first steps to DIR")
     p.add_argument("--dry-run", action="store_true")
@@ -72,6 +74,7 @@ def build_config(args):
         ada_target=args.target,
         use_ada=args.aug != "noaug",
         augment_p_init=args.p if args.aug == "fixed" else 0.0,
+        split_phases=args.split_phases,
     )
     if args.batch is not None:
         updates["batch_size"] = args.batch

@@ -25,3 +25,4 @@ from .synthesis import (
     SynthesisBlockTexture,
 )
 from .encoders import ConstEncoderNetwork, StyleEncoderNetwork
+from . import legacy  # capability-parity layer zoo (v1 leftovers etc.)

@@ -28,6 +28,15 @@ class TrainConfig:
     # optimization
     batch_size: int = 32
     data_axis_size: int = 8
+    # Microbatch gradient accumulation (reference batch_gpu / no_sync rounds,
+    # training_loop_fullbody.py:616-629): the per-step batch is split into
+    # grad_accum microbatches scanned before each optimizer update. Gradients
+    # are MEANED over microbatches (the mathematical full-batch gradient; the
+    # reference sums round losses, a scale Adam mostly absorbs).
+    grad_accum: int = 1
+    # Compile one program per phase instead of one monolithic step — needed
+    # when the full 512px step exceeds toolchain compiler limits.
+    split_phases: bool = False
     mbstd_group_size: int = 4
     lr: float = 5e-4
     adam_beta1: float = 0.0

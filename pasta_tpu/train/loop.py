@@ -24,7 +24,7 @@ from ..io.checkpoint import save_checkpoint_variables, load_checkpoint_variables
 from .config import TrainConfig
 from .entry import make_mesh, shard_batch, replicate
 from .state import init_state, TrainState
-from .steps import make_train_step
+from .steps import make_train_step, make_phase_steps
 from .stats import Collector, JsonlLogger
 
 
@@ -98,7 +98,8 @@ def training_loop(
         state = TrainState(*state) if isinstance(state, (tuple, list)) else state
     state = replicate(state, mesh)
 
-    train_step = make_train_step(cfg, vgg_params=vgg_params)
+    step_builder = make_phase_steps if cfg.split_phases else make_train_step
+    train_step = step_builder(cfg, vgg_params=vgg_params)
     loader = iter(ParallelLoader(dataset, cfg.batch_size, num_workers, seed))
     logger = JsonlLogger(run_dir)
     collector = Collector()

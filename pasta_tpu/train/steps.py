@@ -210,6 +210,46 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
         metrics = dict(dp_loss=loss_fake + loss_real, dp_r1_penalty=r1)
         return loss, metrics
 
+    def _microbatches(batch):
+        a = cfg.grad_accum
+        return jax.tree.map(
+            lambda x: x.reshape((a, x.shape[0] // a) + x.shape[1:]), batch)
+
+    def _accum_grad(loss_fn, params, batch, *rest_and_keys):
+        """Mean loss/grads over grad_accum microbatches via lax.scan
+        (reference batch_gpu accumulation rounds,
+        training_loop_fullbody.py:616-629). The last argument must be the
+        PRNG-key dict — split per microbatch so noise/augment draws differ
+        across rounds like the reference's."""
+        *rest, keys = rest_and_keys
+        if cfg.grad_accum == 1:
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, *rest, keys)
+        a = cfg.grad_accum
+        micro = _microbatches(batch)
+        keys_split = {k: jax.random.split(v, a) for k, v in keys.items()}
+
+        def body(carry, xs):
+            mb, mb_keys = xs
+            gsum, lsum, _ = carry
+            (loss, aux_new), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, mb, *rest, mb_keys)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            return (gsum, lsum + loss, aux_new), None
+
+        zero_g = jax.tree.map(jnp.zeros_like, params)
+        first_mb = jax.tree.map(lambda x: x[0], micro)
+        # aux carry structure without extra compute. NB: buffer updates
+        # (w_avg) see the pre-step buffers in every microbatch; the reference
+        # chains them across rounds — negligible at beta 0.995.
+        aux_shape = jax.eval_shape(
+            lambda p, b: loss_fn(p, b, *rest, keys)[1], params, first_mb)
+        aux0 = jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype),
+                            aux_shape)
+        (gsum, lsum, aux), _ = jax.lax.scan(
+            body, (zero_g, 0.0, aux0), (micro, keys_split))
+        return (lsum / a, aux), jax.tree.map(lambda g: g / a, gsum)
+
     @functools.partial(jax.jit, static_argnames=("do_r1_d", "do_r1_dp"))
     def train_step(state: TrainState, batch, key, do_r1_d: bool = False,
                    do_r1_dp: bool = False):
@@ -226,8 +266,9 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
         # not implemented.
 
         # --- G phase ---
-        (g_loss, (new_g_buffers, g_metrics)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params, state, batch, keys_g)
+        (g_loss, (new_g_buffers, g_metrics)), g_grads = _accum_grad(
+            lambda p, b, s_, k_: g_loss_fn(p, s_, b, k_),
+            state.g_params, batch, state, keys_g)
         if cfg.sanitize_grads:
             g_grads = jax.tree.map(
                 lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5),
@@ -238,10 +279,11 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
             g_params=g_params, g_buffers=new_g_buffers, g_opt=g_opt)
 
         # --- D phase (sees updated G, like the reference phase order) ---
-        (d_loss, d_metrics), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(
-                state.d_params, state.g_params, state.g_buffers, state, batch,
-                keys_d, do_r1_d)
+        (d_loss, d_metrics), d_grads = _accum_grad(
+            lambda p, b, gp, gb, s_, r_, k_: d_loss_fn(
+                p, gp, gb, s_, b, k_, r_),
+            state.d_params, batch, state.g_params, state.g_buffers, state,
+            do_r1_d, keys_d)
         if cfg.sanitize_grads:
             d_grads = jax.tree.map(
                 lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5),
@@ -254,10 +296,11 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
         n_dp = 2 if cfg.double_d_parsing else 1
         dp_metrics = {}
         for _ in range(n_dp):
-            (dp_loss, dp_metrics), dp_grads = jax.value_and_grad(
-                dp_loss_fn, has_aux=True)(
-                    state.dp_params, state.g_params, state.g_buffers, state,
-                    batch, keys_dp, do_r1_dp)
+            (dp_loss, dp_metrics), dp_grads = _accum_grad(
+                lambda p, b, gp, gb, s_, r_, k_: dp_loss_fn(
+                    p, gp, gb, s_, b, k_, r_),
+                state.dp_params, batch, state.g_params, state.g_buffers,
+                state, do_r1_dp, keys_dp)
             dp_updates, dp_opt = dp_opt_tx.update(
                 dp_grads, state.dp_opt, state.dp_params)
             dp_params = optax.apply_updates(state.dp_params, dp_updates)
@@ -293,3 +336,206 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
         return state, metrics
 
     return train_step
+
+
+def make_phase_steps(cfg: TrainConfig, vgg_params=None):
+    """Split-phase variant of make_train_step: one jitted program per phase
+    (G / D / D_parsing / EMA+ADA bookkeeping) instead of one monolithic
+    step. Same semantics and call signature; compiles much smaller programs
+    (the monolithic 512px step can exceed toolchain compiler limits).
+    """
+    assert cfg.freeze_d_layers == 0 and cfg.grad_accum == 1, (
+        "freeze-D / grad accumulation are handled by the monolithic "
+        "make_train_step; split-phase mode targets compiler-size limits")
+    import functools as _ft
+
+    inner = _build_phase_fns(cfg, vgg_params)
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def g_step(state, batch, key):
+        return inner["g"](state, batch, key)
+
+    @_ft.partial(jax.jit, static_argnames=("do_r1",), donate_argnums=(0,))
+    def d_step(state, batch, key, do_r1=False):
+        return inner["d"](state, batch, key, do_r1)
+
+    @_ft.partial(jax.jit, static_argnames=("do_r1",), donate_argnums=(0,))
+    def dp_step(state, batch, key, do_r1=False):
+        return inner["dp"](state, batch, key, do_r1)
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def post_step(state, real_signs):
+        return inner["post"](state, real_signs)
+
+    def step(state, batch, key, do_r1_d=False, do_r1_dp=False):
+        k1, k2, k3 = jax.random.split(key, 3)
+        state, g_metrics = g_step(state, batch, k1)
+        state, d_metrics = d_step(state, batch, k2, do_r1=do_r1_d)
+        n_dp = 2 if cfg.double_d_parsing else 1
+        for _ in range(n_dp):
+            state, dp_metrics = dp_step(state, batch, k3, do_r1=do_r1_dp)
+        state = post_step(state, d_metrics["real_signs"])
+        return state, {**g_metrics, **d_metrics, **dp_metrics,
+                       "ada_p": state.ada_p}
+
+    return step
+
+
+def _build_phase_fns(cfg: TrainConfig, vgg_params=None):
+    """Phase bodies shared by make_phase_steps (same math as the monolithic
+    step, factored per module update)."""
+    g, d, dp = make_models(cfg)
+    g_opt_tx, d_opt_tx, dp_opt_tx = make_optimizers(cfg)
+    sanitize = (lambda t: jax.tree.map(
+        lambda x: jnp.nan_to_num(x, nan=0.0, posinf=1e5, neginf=-1e5), t)
+    ) if cfg.sanitize_grads else (lambda t: t)
+
+    # Rebuild the loss closures exactly as make_train_step does by calling
+    # it once and borrowing its loss functions is not possible (they are
+    # locals); the phase bodies below re-invoke the same module applies.
+    from .steps import _run_g, _style_code, _d_in, _gt_parsing_onehot  # self
+    from ..losses.gan import g_nonsat_loss, d_logistic_loss
+    from ..losses.parsing import weighted_parsing_ce
+    from ..losses.vgg import vgg_loss
+
+    def g_loss_fn(g_params, state, batch, keys):
+        img, finetune, pred_parsing, new_buffers = _run_g(
+            g, g_params, state.g_buffers, batch, keys["noise"])
+        gen_c = _style_code(g, g_params, state.g_buffers, batch)
+        d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg)
+        d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg)
+        gen_logits = d.apply({"params": state.d_params}, d_in, gen_c)
+        ft_logits = d.apply({"params": state.d_params}, d_in_ft, gen_c)
+        parsing_soft = jax.nn.softmax(pred_parsing, axis=-1)
+        dp_in = jnp.concatenate(
+            [parsing_soft, batch["pose"][..., 0:3]], axis=-1)
+        parsing_logits = dp.apply({"params": state.dp_params}, dp_in, gen_c)
+        loss = (g_nonsat_loss(gen_logits) + g_nonsat_loss(ft_logits)) / 2 \
+            + g_nonsat_loss(parsing_logits)
+        if cfg.l1_weight > 0:
+            loss = loss + (
+                jnp.mean(jnp.abs(img - batch["real_img"]))
+                + jnp.mean(jnp.abs(finetune - batch["real_img"]))
+            ) / 2 * cfg.l1_weight
+        if cfg.mask_weight > 0:
+            loss = loss + weighted_parsing_ce(
+                pred_parsing, batch["gt_parsing"][..., 0].astype(jnp.int32)
+            ) * cfg.mask_weight
+        if cfg.vgg_weight > 0 and vgg_params is not None:
+            loss = loss + (
+                vgg_loss(vgg_params, img, batch["real_img"])
+                + vgg_loss(vgg_params, finetune, batch["real_img"])
+            ) / 2 * cfg.vgg_weight
+        metrics = dict(g_loss=g_nonsat_loss(gen_logits),
+                       fake_scores=jnp.mean(gen_logits))
+        return loss, (new_buffers, metrics)
+
+    def d_loss_fn(d_params, state, batch, keys, do_r1):
+        gen_c = _style_code(g, state.g_params, state.g_buffers, batch)
+        img, finetune, _, _ = _run_g(
+            g, state.g_params, state.g_buffers, batch, keys["noise"],
+            update_w_avg=False)
+        img = jax.lax.stop_gradient(img)
+        finetune = jax.lax.stop_gradient(finetune)
+        d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg)
+        d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg)
+        gen_logits = d.apply({"params": d_params}, d_in, gen_c)
+        ft_logits = d.apply({"params": d_params}, d_in_ft, gen_c)
+        loss = (d_logistic_loss(fake_logits=gen_logits)
+                + d_logistic_loss(fake_logits=ft_logits)) / 2
+
+        def real_logits_of(x):
+            real_in = _d_in(x, batch["pose"], state.ada_p, keys["aug3"], cfg)
+            return d.apply({"params": d_params}, real_in, gen_c)
+
+        real_logits = real_logits_of(batch["real_img"])
+        loss = loss + d_logistic_loss(real_logits=real_logits)
+        r1 = 0.0
+        if do_r1:
+            grads = jax.grad(
+                lambda x: jnp.sum(real_logits_of(x)))(batch["real_img"])
+            r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
+            loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
+        metrics = dict(d_loss=loss, real_scores=jnp.mean(real_logits),
+                       real_signs=jnp.mean(jnp.sign(real_logits)),
+                       r1_penalty=r1)
+        return loss, metrics
+
+    def dp_loss_fn(dp_params, state, batch, keys, do_r1):
+        gen_c = _style_code(g, state.g_params, state.g_buffers, batch)
+        _, _, pred_parsing, _ = _run_g(
+            g, state.g_params, state.g_buffers, batch, keys["noise"],
+            update_w_avg=False)
+        parsing_soft = jax.lax.stop_gradient(
+            jax.nn.softmax(pred_parsing, axis=-1))
+        pose_rgb = batch["pose"][..., 0:3]
+        fake_logits = dp.apply(
+            {"params": dp_params},
+            jnp.concatenate([parsing_soft, pose_rgb], axis=-1), gen_c)
+        loss = d_logistic_loss(fake_logits=fake_logits)
+        gt_onehot = _gt_parsing_onehot(batch["gt_parsing"])
+
+        def real_logits_of(x):
+            return dp.apply({"params": dp_params},
+                            jnp.concatenate([x, pose_rgb], axis=-1), gen_c)
+
+        real_logits = real_logits_of(gt_onehot)
+        loss = loss + d_logistic_loss(real_logits=real_logits)
+        r1 = 0.0
+        if do_r1:
+            grads = jax.grad(lambda x: jnp.sum(real_logits_of(x)))(gt_onehot)
+            r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
+            loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
+        return loss, dict(dp_loss=loss, dp_r1_penalty=r1)
+
+    def g_phase(state, batch, key):
+        ks = jax.random.split(key, 3)
+        keys = dict(noise=ks[0], aug1=ks[1], aug2=ks[2])
+        (loss, (new_buffers, metrics)), grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params, state, batch, keys)
+        grads = sanitize(grads)
+        updates, g_opt = g_opt_tx.update(grads, state.g_opt, state.g_params)
+        params = optax.apply_updates(state.g_params, updates)
+        return state.replace(g_params=params, g_buffers=new_buffers,
+                             g_opt=g_opt), metrics
+
+    def d_phase(state, batch, key, do_r1):
+        ks = jax.random.split(key, 4)
+        keys = dict(noise=ks[0], aug1=ks[1], aug2=ks[2], aug3=ks[3])
+        (loss, metrics), grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params, state, batch, keys, do_r1)
+        grads = sanitize(grads)
+        updates, d_opt = d_opt_tx.update(grads, state.d_opt, state.d_params)
+        params = optax.apply_updates(state.d_params, updates)
+        return state.replace(d_params=params, d_opt=d_opt), metrics
+
+    def dp_phase(state, batch, key, do_r1):
+        keys = dict(noise=key)
+        (loss, metrics), grads = jax.value_and_grad(
+            dp_loss_fn, has_aux=True)(state.dp_params, state, batch, keys,
+                                      do_r1)
+        grads = sanitize(grads)
+        updates, dp_opt = dp_opt_tx.update(grads, state.dp_opt,
+                                           state.dp_params)
+        params = optax.apply_updates(state.dp_params, updates)
+        return state.replace(dp_params=params, dp_opt=dp_opt), metrics
+
+    def post(state, real_signs):
+        ema_nimg = cfg.ema_kimg * 1000
+        if cfg.ema_rampup is not None:
+            ema_nimg = jnp.minimum(
+                ema_nimg, state.cur_nimg.astype(jnp.float32) * cfg.ema_rampup)
+        ema_beta = 0.5 ** (cfg.batch_size / jnp.maximum(ema_nimg, 1e-8))
+        lerp = lambda a, b: b + (a - b) * ema_beta
+        g_ema_params = jax.tree.map(lerp, state.g_ema_params, state.g_params)
+        ada_p = state.ada_p
+        if cfg.use_ada:
+            adjust = jnp.sign(real_signs - cfg.ada_target) * \
+                cfg.batch_size / (cfg.ada_kimg * 1000)
+            ada_p = jnp.clip(ada_p + adjust, 0.0, 1.0)
+        return state.replace(
+            step=state.step + 1, cur_nimg=state.cur_nimg + cfg.batch_size,
+            g_ema_params=g_ema_params, g_ema_buffers=state.g_buffers,
+            ada_p=ada_p)
+
+    return dict(g=g_phase, d=d_phase, dp=dp_phase, post=post)
