@@ -46,8 +46,16 @@ def parse_args(argv=None):
     p.add_argument("--snap", type=int, default=10, help="snapshot ticks")
     p.add_argument("--max-steps", type=int, default=None,
                    help="hard step cap (smoke/debug)")
-    p.add_argument("--split-phases", action="store_true",
-                   help="compile one program per phase (large configs)")
+    p.add_argument("--step-mode", default="monolithic",
+                   choices=["monolithic", "phases", "decomposed"],
+                   help="step compilation granularity; 'decomposed' for "
+                        "toolchains that cannot compile the fused 512px step")
+    # Multi-host bootstrap (replaces the reference's file:// NCCL rendezvous,
+    # train.py:394-401): pass the coordinator on every process of a pod.
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (jax.distributed)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--trace", default=None,
                    help="write a jax.profiler trace of the first steps to DIR")
     p.add_argument("--dry-run", action="store_true")
@@ -74,7 +82,7 @@ def build_config(args):
         ada_target=args.target,
         use_ada=args.aug != "noaug",
         augment_p_init=args.p if args.aug == "fixed" else 0.0,
-        split_phases=args.split_phases,
+        step_mode=args.step_mode,
     )
     if args.batch is not None:
         updates["batch_size"] = args.batch
@@ -116,6 +124,13 @@ def load_vgg_params(path):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.coordinator is not None:
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
     cfg = build_config(args)
 
     run_dir = next_run_dir(

@@ -34,9 +34,25 @@ class TrainConfig:
     # are MEANED over microbatches (the mathematical full-batch gradient; the
     # reference sums round losses, a scale Adam mostly absorbs).
     grad_accum: int = 1
-    # Compile one program per phase instead of one monolithic step — needed
-    # when the full 512px step exceeds toolchain compiler limits.
-    split_phases: bool = False
+    # Step compilation granularity: 'monolithic' (one program, fastest),
+    # 'phases' (one per G/D/DP phase), 'decomposed' (VJP-chained
+    # single-model programs — required when the toolchain compiler can't
+    # handle G-backward+D graphs in one program, as on the tunneled v5e).
+    step_mode: str = "monolithic"
+
+    # Chunk the generator backward into per-chunk VJPs summed in a scan
+    # (decomposed mode only; 0 = whole batch). Exact — G has no cross-batch
+    # coupling — and keeps each compiled backward at chunk size, for
+    # toolchains whose compiler cannot handle the full-batch 512px backward.
+    bwd_chunk: int = 0
+    # Compute lazy R1 on batch//r1_batch_shrink samples (memory headroom on
+    # a single chip; unbiased estimator of the same penalty — analogous to
+    # the reference's pl_batch_shrink for its path-length reg).
+    r1_batch_shrink: int = 1
+
+    @property
+    def split_phases(self):  # backward compat
+        return self.step_mode != "monolithic"
     mbstd_group_size: int = 4
     lr: float = 5e-4
     adam_beta1: float = 0.0

@@ -1,0 +1,311 @@
+"""Decomposed training step: VJP chaining across single-model-sized jits.
+
+The tunneled TPU toolchain's compile helper crashes on programs that combine
+the 512px generator backward with the discriminator graphs (each compiles
+fine alone — see round-1 isolation). This module splits every phase along
+model boundaries and chains gradients manually:
+
+  G phase:
+    1. g_fwd        — G forward (+w_avg buffers, style code) [G-sized]
+    2. g_cotangents — all G-loss terms (D/DP forwards + L1/CE/VGG) and their
+                      gradients w.r.t. the G OUTPUTS (img, finetune,
+                      parsing, style code) [D-sized]
+    3. g_bwd_update — vjp of the G forward with those cotangents + Adam
+                      [G-sized; rematerializes the forward]
+  D / DP phases: consume stop-gradient G outputs -> each program holds only
+    one discriminator (R1 included — grad-of-grad of D alone compiles).
+  post: EMA + ADA controller.
+
+Numerics match make_train_step exactly (same noise keys -> same randomness;
+chain rule is associative); equivalence is covered by tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses.gan import g_nonsat_loss, d_logistic_loss
+from ..losses.parsing import weighted_parsing_ce
+from ..losses.vgg import vgg_loss
+from .augment import augment_pipe, AugmentConfig
+from .config import TrainConfig
+from .state import TrainState, make_models, make_optimizers
+from .steps import _gt_parsing_onehot
+
+
+def make_decomposed_steps(cfg: TrainConfig, vgg_params=None):
+    assert cfg.freeze_d_layers == 0 and cfg.grad_accum == 1, (
+        "freeze-D / grad accumulation live in the monolithic step")
+    g, d, dp = make_models(cfg)
+    g_opt_tx, d_opt_tx, dp_opt_tx = make_optimizers(cfg)
+    sanitize = (lambda t: jax.tree.map(
+        lambda x: jnp.nan_to_num(x, nan=0.0, posinf=1e5, neginf=-1e5), t)
+    ) if cfg.sanitize_grads else (lambda t: t)
+
+    def _g_outputs(g_params, g_buffers, batch, noise_key):
+        """G forward returning (img, finetune, parsing, style_code),
+        new_buffers."""
+        n = batch["real_img"].shape[0]
+        (img, ft, parsing), mut = g.apply(
+            {"params": g_params, "buffers": g_buffers},
+            rngs={"noise": noise_key}, mutable=["buffers"],
+            z=jnp.zeros((n, 0)), c=batch["style_input"],
+            retain=batch["retain"], pose=batch["pose"],
+            denorm_upper_input=batch["denorm_upper_input"],
+            denorm_lower_input=batch["denorm_lower_input"],
+            denorm_upper_mask=batch["denorm_upper_mask"],
+            denorm_lower_mask=batch["denorm_lower_mask"],
+            gt_parsing=batch["gt_parsing"], update_w_avg=True)
+        code = g.apply(
+            {"params": g_params, "buffers": g_buffers},
+            batch["style_input"], batch["retain"],
+            method=lambda m, c_, r_: m.style_encoding(c_, r_))[0]
+        return (img, ft, parsing, code), mut["buffers"]
+
+    def _chunk_layout(n):
+        chunk = cfg.bwd_chunk
+        if chunk and chunk < n:
+            return n // chunk, chunk
+        return None, n
+
+    @jax.jit
+    def g_fwd(g_params, g_buffers, batch, noise_key):
+        n = batch["real_img"].shape[0]
+        n_chunks, chunk = _chunk_layout(n)
+        if n_chunks is None:
+            return _g_outputs(g_params, g_buffers, batch, noise_key)
+        # Chunked forward with per-chunk folded noise keys — must mirror the
+        # chunked backward exactly so the rematerialized noise matches.
+        batch_s = jax.tree.map(
+            lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]), batch)
+
+        def body(bufs, xs):
+            b_c, i = xs
+            outputs, new_bufs = _g_outputs(
+                g_params, bufs, b_c, jax.random.fold_in(noise_key, i))
+            return new_bufs, outputs
+
+        bufs, outs = jax.lax.scan(
+            body, g_buffers, (batch_s, jnp.arange(n_chunks)))
+        outputs = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), outs)
+        return outputs, bufs
+
+    def _g_loss_from_outputs(outputs, d_params, dp_params, ada_p, batch, keys):
+        img, ft, parsing, gen_c = outputs
+
+        def d_in(x, key):
+            if cfg.use_ada:
+                x = augment_pipe(x, ada_p, key, AugmentConfig.bgc())
+            return jnp.concatenate([x, batch["pose"][..., 0:3]], axis=-1)
+
+        gen_logits = d.apply({"params": d_params}, d_in(img, keys["aug1"]),
+                             gen_c)
+        ft_logits = d.apply({"params": d_params}, d_in(ft, keys["aug2"]),
+                            gen_c)
+        parsing_soft = jax.nn.softmax(parsing, axis=-1)
+        dp_in = jnp.concatenate(
+            [parsing_soft, batch["pose"][..., 0:3]], axis=-1)
+        parsing_logits = dp.apply({"params": dp_params}, dp_in, gen_c)
+
+        loss = (g_nonsat_loss(gen_logits) + g_nonsat_loss(ft_logits)) / 2 \
+            + g_nonsat_loss(parsing_logits)
+        if cfg.l1_weight > 0:
+            loss = loss + (
+                jnp.mean(jnp.abs(img - batch["real_img"]))
+                + jnp.mean(jnp.abs(ft - batch["real_img"]))) / 2 * cfg.l1_weight
+        if cfg.mask_weight > 0:
+            loss = loss + weighted_parsing_ce(
+                parsing, batch["gt_parsing"][..., 0].astype(jnp.int32)
+            ) * cfg.mask_weight
+        if cfg.vgg_weight > 0 and vgg_params is not None:
+            loss = loss + (
+                vgg_loss(vgg_params, img, batch["real_img"])
+                + vgg_loss(vgg_params, ft, batch["real_img"])
+            ) / 2 * cfg.vgg_weight
+        metrics = dict(g_loss=g_nonsat_loss(gen_logits),
+                       g_loss_finetune=g_nonsat_loss(ft_logits),
+                       fake_scores=jnp.mean(gen_logits))
+        return loss, metrics
+
+    @jax.jit
+    def g_cotangents(outputs, d_params, dp_params, ada_p, batch, keys):
+        (loss, metrics), cots = jax.value_and_grad(
+            _g_loss_from_outputs, has_aux=True)(
+                outputs, d_params, dp_params, ada_p, batch, keys)
+        return cots, metrics
+
+    @jax.jit
+    def g_bwd_update(state: TrainState, batch, noise_key, cotangents):
+        def chunk_vjp_keyed(g_params, batch_c, cots_c, key_c):
+            def fwd_only(p):
+                outputs, _ = _g_outputs(
+                    p, state.g_buffers, batch_c, key_c)
+                return outputs
+
+            _, vjp = jax.vjp(fwd_only, g_params)
+            (grads,) = vjp(cots_c)
+            return grads
+
+        n = batch["real_img"].shape[0]
+        n_chunks, chunk = _chunk_layout(n)
+        if n_chunks is not None:
+            split = lambda t: jax.tree.map(
+                lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]), t)
+            batch_s, cots_s = split(batch), split(cotangents)
+
+            def body(acc, xs):
+                b_c, c_c, i = xs
+                g = chunk_vjp_keyed(state.g_params, b_c, c_c,
+                                    jax.random.fold_in(noise_key, i))
+                return jax.tree.map(jnp.add, acc, g), None
+
+            zero = jax.tree.map(jnp.zeros_like, state.g_params)
+            grads, _ = jax.lax.scan(
+                body, zero, (batch_s, cots_s, jnp.arange(n_chunks)))
+        else:
+            grads = chunk_vjp_keyed(state.g_params, batch, cotangents,
+                                    noise_key)
+        grads = sanitize(grads)
+        updates, g_opt = g_opt_tx.update(grads, state.g_opt, state.g_params)
+        params = optax.apply_updates(state.g_params, updates)
+        return state.replace(g_params=params, g_opt=g_opt)
+
+    def _d_loss(d_params, img, ft, gen_c, ada_p, batch, keys, do_r1):
+        def d_in(x, key):
+            n_x = x.shape[0]
+            if cfg.use_ada:
+                x = augment_pipe(x, ada_p, key, AugmentConfig.bgc())
+            return jnp.concatenate(
+                [x, batch["pose"][:n_x, ..., 0:3]], axis=-1)
+
+        gen_logits = d.apply({"params": d_params}, d_in(img, keys["aug1"]),
+                             gen_c)
+        ft_logits = d.apply({"params": d_params}, d_in(ft, keys["aug2"]),
+                            gen_c)
+        loss = (d_logistic_loss(fake_logits=gen_logits)
+                + d_logistic_loss(fake_logits=ft_logits)) / 2
+
+        def real_logits_of(x):
+            return d.apply({"params": d_params}, d_in(x, keys["aug3"]),
+                           gen_c[:x.shape[0]])
+
+        real_logits = real_logits_of(batch["real_img"])
+        loss_main = loss + d_logistic_loss(real_logits=real_logits)
+        loss = loss_main
+        r1 = 0.0
+        if do_r1:
+            n_r1 = batch["real_img"].shape[0] // cfg.r1_batch_shrink
+            grads = jax.grad(
+                lambda x: jnp.sum(real_logits_of(x)))(
+                    batch["real_img"][:n_r1])
+            r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
+            loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
+        metrics = dict(d_loss=loss_main, real_scores=jnp.mean(real_logits),
+                       real_signs=jnp.mean(jnp.sign(real_logits)),
+                       r1_penalty=r1)
+        return loss, metrics
+
+    @functools.partial(jax.jit, static_argnames=("do_r1",))
+    def d_phase(state: TrainState, img, ft, gen_c, batch, keys, do_r1=False):
+        (loss, metrics), grads = jax.value_and_grad(
+            _d_loss, has_aux=True)(state.d_params, img, ft, gen_c,
+                                   state.ada_p, batch, keys, do_r1)
+        grads = sanitize(grads)
+        updates, d_opt = d_opt_tx.update(grads, state.d_opt, state.d_params)
+        params = optax.apply_updates(state.d_params, updates)
+        return state.replace(d_params=params, d_opt=d_opt), metrics
+
+    def _dp_loss(dp_params, parsing, gen_c, batch, do_r1):
+        pose_rgb = batch["pose"][..., 0:3]
+        parsing_soft = jax.nn.softmax(parsing, axis=-1)
+        fake_logits = dp.apply(
+            {"params": dp_params},
+            jnp.concatenate([parsing_soft, pose_rgb], axis=-1), gen_c)
+        loss = d_logistic_loss(fake_logits=fake_logits)
+        gt_onehot = _gt_parsing_onehot(batch["gt_parsing"])
+
+        def real_logits_of(x):
+            n_x = x.shape[0]
+            return dp.apply({"params": dp_params},
+                            jnp.concatenate([x, pose_rgb[:n_x]], axis=-1),
+                            gen_c[:n_x])
+
+        real_logits = real_logits_of(gt_onehot)
+        loss_main = loss + d_logistic_loss(real_logits=real_logits)
+        loss = loss_main
+        r1 = 0.0
+        if do_r1:
+            n_r1 = gt_onehot.shape[0] // cfg.r1_batch_shrink
+            grads = jax.grad(
+                lambda x: jnp.sum(real_logits_of(x)))(gt_onehot[:n_r1])
+            r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
+            loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
+        return loss, dict(dp_loss=loss_main, dp_r1_penalty=r1)
+
+    @functools.partial(jax.jit, static_argnames=("do_r1",))
+    def dp_phase(state: TrainState, parsing, gen_c, batch, do_r1=False):
+        (loss, metrics), grads = jax.value_and_grad(
+            _dp_loss, has_aux=True)(state.dp_params, parsing, gen_c, batch,
+                                    do_r1)
+        grads = sanitize(grads)
+        updates, dp_opt = dp_opt_tx.update(grads, state.dp_opt,
+                                           state.dp_params)
+        params = optax.apply_updates(state.dp_params, updates)
+        return state.replace(dp_params=params, dp_opt=dp_opt), metrics
+
+    @jax.jit
+    def post_step(state: TrainState, real_signs):
+        ema_nimg = cfg.ema_kimg * 1000
+        if cfg.ema_rampup is not None:
+            ema_nimg = jnp.minimum(
+                ema_nimg, state.cur_nimg.astype(jnp.float32) * cfg.ema_rampup)
+        ema_beta = 0.5 ** (cfg.batch_size / jnp.maximum(ema_nimg, 1e-8))
+        lerp = lambda a, b: b + (a - b) * ema_beta
+        g_ema_params = jax.tree.map(lerp, state.g_ema_params, state.g_params)
+        ada_p = state.ada_p
+        if cfg.use_ada:
+            adjust = jnp.sign(real_signs - cfg.ada_target) * \
+                cfg.batch_size / (cfg.ada_kimg * 1000)
+            ada_p = jnp.clip(ada_p + adjust, 0.0, 1.0)
+        return state.replace(
+            step=state.step + 1, cur_nimg=state.cur_nimg + cfg.batch_size,
+            g_ema_params=g_ema_params, g_ema_buffers=state.g_buffers,
+            ada_p=ada_p)
+
+    def step(state, batch, key, do_r1_d=False, do_r1_dp=False):
+        ks = jax.random.split(key, 10)
+        keys_g = dict(aug1=ks[1], aug2=ks[2])
+        keys_d = dict(aug1=ks[4], aug2=ks[5], aug3=ks[6])
+
+        # --- G phase (fwd -> cotangents -> bwd+update) ---
+        outputs, new_buffers = g_fwd(
+            state.g_params, state.g_buffers, batch, ks[0])
+        cots, g_metrics = g_cotangents(
+            outputs, state.d_params, state.dp_params, state.ada_p, batch,
+            keys_g)
+        state = g_bwd_update(state, batch, ks[0], cots)
+        state = state.replace(g_buffers=new_buffers)
+
+        # --- D / DP phases on the UPDATED G (reference phase order) ---
+        (img, ft, parsing, gen_c), _ = g_fwd(
+            state.g_params, state.g_buffers, batch, ks[3])
+        img = jax.lax.stop_gradient(img)
+        ft = jax.lax.stop_gradient(ft)
+        parsing = jax.lax.stop_gradient(parsing)
+        gen_c = jax.lax.stop_gradient(gen_c)
+        state, d_metrics = d_phase(state, img, ft, gen_c, batch, keys_d,
+                                   do_r1=do_r1_d)
+        n_dp = 2 if cfg.double_d_parsing else 1
+        for _ in range(n_dp):
+            state, dp_metrics = dp_phase(state, parsing, gen_c, batch,
+                                         do_r1=do_r1_dp)
+        state = post_step(state, d_metrics["real_signs"])
+        return state, {**g_metrics, **d_metrics, **dp_metrics,
+                       "ada_p": state.ada_p}
+
+    return step

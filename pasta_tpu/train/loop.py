@@ -96,9 +96,21 @@ def training_loop(
         state = load_checkpoint_variables(
             resume_path, jax.tree.map(np.asarray, state))
         state = TrainState(*state) if isinstance(state, (tuple, list)) else state
+        # The reference speeds up ADA adaptation and disables the EMA rampup
+        # on resume (train.py:340-342); orbax restores ada_p/step exactly, so
+        # only the rampup disable applies.
+        if cfg.ema_rampup is not None:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, ema_rampup=None)
     state = replicate(state, mesh)
 
-    step_builder = make_phase_steps if cfg.split_phases else make_train_step
+    if cfg.step_mode == "decomposed":
+        from .decomposed import make_decomposed_steps as step_builder
+    elif cfg.step_mode == "phases":
+        step_builder = make_phase_steps
+    else:
+        step_builder = make_train_step
     train_step = step_builder(cfg, vgg_params=vgg_params)
     loader = iter(ParallelLoader(dataset, cfg.batch_size, num_workers, seed))
     logger = JsonlLogger(run_dir)

@@ -449,14 +449,15 @@ def _build_phase_fns(cfg: TrainConfig, vgg_params=None):
             return d.apply({"params": d_params}, real_in, gen_c)
 
         real_logits = real_logits_of(batch["real_img"])
-        loss = loss + d_logistic_loss(real_logits=real_logits)
+        loss_main = loss + d_logistic_loss(real_logits=real_logits)
+        loss = loss_main
         r1 = 0.0
         if do_r1:
             grads = jax.grad(
                 lambda x: jnp.sum(real_logits_of(x)))(batch["real_img"])
             r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
             loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
-        metrics = dict(d_loss=loss, real_scores=jnp.mean(real_logits),
+        metrics = dict(d_loss=loss_main, real_scores=jnp.mean(real_logits),
                        real_signs=jnp.mean(jnp.sign(real_logits)),
                        r1_penalty=r1)
         return loss, metrics
@@ -480,13 +481,14 @@ def _build_phase_fns(cfg: TrainConfig, vgg_params=None):
                             jnp.concatenate([x, pose_rgb], axis=-1), gen_c)
 
         real_logits = real_logits_of(gt_onehot)
-        loss = loss + d_logistic_loss(real_logits=real_logits)
+        loss_main = loss + d_logistic_loss(real_logits=real_logits)
+        loss = loss_main
         r1 = 0.0
         if do_r1:
             grads = jax.grad(lambda x: jnp.sum(real_logits_of(x)))(gt_onehot)
             r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
             loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
-        return loss, dict(dp_loss=loss, dp_r1_penalty=r1)
+        return loss, dict(dp_loss=loss_main, dp_r1_penalty=r1)
 
     def g_phase(state, batch, key):
         ks = jax.random.split(key, 3)
