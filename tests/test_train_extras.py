@@ -88,3 +88,27 @@ class TestPPL:
                           epsilon=1e-3)
         # d = |(b-a) eps W|^2 / eps^2 = |(b-a) W|^2 — finite, positive
         assert np.isfinite(ppl) and ppl > 0
+
+
+class TestCheckpointResume:
+    def test_orbax_trainstate_roundtrip(self, tmp_path):
+        from pasta_tpu.io.checkpoint import (
+            save_checkpoint_variables, load_checkpoint_variables)
+
+        cfg = _small_cfg()
+        state = init_state(cfg, jax.random.PRNGKey(0))
+        state = state.replace(step=jnp.asarray(7, jnp.int32),
+                              ada_p=jnp.asarray(0.25, jnp.float32))
+        path = str(tmp_path / "ckpt")
+        save_checkpoint_variables(path, jax.device_get(state))
+        restored = load_checkpoint_variables(
+            path, jax.tree.map(np.asarray, jax.device_get(state)))
+        assert int(restored.step) == 7
+        assert float(restored.ada_p) == 0.25
+        for a, b in zip(jax.tree.leaves(state.g_params),
+                        jax.tree.leaves(restored.g_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # optimizer state survives too (the reference loses it; SURVEY §5)
+        for a, b in zip(jax.tree.leaves(state.g_opt),
+                        jax.tree.leaves(restored.g_opt)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
