@@ -58,6 +58,20 @@ def parse_args(argv=None):
     p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--trace", default=None,
                    help="write a jax.profiler trace of the first steps to DIR")
+    # In-training metric evaluation (reference --metrics, train.py:477-484 +
+    # the snapshot-time metric hook, training_loop_fullbody.py:738-748).
+    p.add_argument("--metrics", default="none",
+                   help="comma-separated in-training metrics (fid,kid) "
+                        "or 'none'")
+    p.add_argument("--metric-ticks", type=int, default=10,
+                   help="evaluate metrics every N ticks")
+    p.add_argument("--metric-items", type=int, default=64,
+                   help="held-out reconstruction set size for metrics")
+    p.add_argument("--inception", default=None,
+                   help="inception detector weights (.pth/.npz) for metrics")
+    p.add_argument("--tryon-grid", type=int, default=0, metavar="K",
+                   help="save a KxK cross-pair try-on grid (thirds "
+                        "composition) at every snapshot")
     p.add_argument("--dry-run", action="store_true")
     return p.parse_args(argv)
 
@@ -154,21 +168,30 @@ def main(argv=None):
     if cfg.vgg_weight > 0 and vgg_params is None:
         print("WARNING: vgg_weight > 0 but no --vgg19 weights; "
               "VGG loss disabled")
+
+    eval_metrics = tuple(
+        m for m in args.metrics.split(",") if m and m != "none")
+    detector_params = None
+    if eval_metrics:
+        from ..metrics.metric_main import load_detector
+
+        assert args.inception is not None, "--metrics needs --inception"
+        detector_params = load_detector(args.inception)
+    loop_kwargs = dict(
+        vgg_params=vgg_params, resume_path=args.resume,
+        num_workers=args.workers, snapshot_ticks=args.snap, seed=args.seed,
+        eval_metrics=eval_metrics, eval_ticks=args.metric_ticks,
+        eval_items=args.metric_items, detector_params=detector_params,
+        tryon_grid_k=args.tryon_grid)
     if args.trace:
         import jax
 
         with jax.profiler.trace(args.trace):
-            training_loop(
-                cfg, dataset, run_dir, vgg_params=vgg_params,
-                resume_path=args.resume, num_workers=args.workers,
-                snapshot_ticks=args.snap, seed=args.seed,
-                total_steps=args.max_steps or 3)
+            training_loop(cfg, dataset, run_dir,
+                          total_steps=args.max_steps or 3, **loop_kwargs)
     else:
-        training_loop(
-            cfg, dataset, run_dir, vgg_params=vgg_params,
-            resume_path=args.resume, num_workers=args.workers,
-            snapshot_ticks=args.snap, seed=args.seed,
-            total_steps=args.max_steps)
+        training_loop(cfg, dataset, run_dir, total_steps=args.max_steps,
+                      **loop_kwargs)
 
 
 if __name__ == "__main__":

@@ -196,9 +196,11 @@ def normalize_patches_device(
 
     d_imgs = pasted[..., 0:3]
     d_masks = pasted[..., 3:4]
+    # >= 254.5, not == 255: bilinear-warped constants can be 1 ulp off under
+    # plain IEEE evaluation and erosion's window-min propagates any deviation.
     d_masks = (
         erode(d_masks.reshape(-1, h, w, 1), erode_k).reshape(d_masks.shape)
-        == 255).astype(jnp.float32)
+        >= 254.5).astype(jnp.float32)
     d_masks = d_masks * (cut_valid * paste_valid)[:, :, None, None, None]
 
     # --- sequential composite (order matters: later parts overwrite) -------
@@ -393,7 +395,7 @@ def normalize_patches_device_tiled(
     t_masks = pasted[..., 3:4]
     t_masks = (
         erode(t_masks.reshape(-1, tile, tile, 1), erode_k).reshape(
-            t_masks.shape) == 255).astype(jnp.float32)
+            t_masks.shape) >= 254.5).astype(jnp.float32)
     t_masks = t_masks * (cut_valid * paste_valid)[:, :, None, None, None]
 
     def composite_one(canvas, tile_img, tile_mask, off_yx):

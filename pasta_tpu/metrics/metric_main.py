@@ -94,6 +94,19 @@ class DetectorRunner:
             stats.save(path)
         return stats
 
+    def array_stats(self, images_uint8, capture_all=False,
+                    capture_mean_cov=True, capture_probs=False):
+        """FeatureStats over an in-memory [N, H, W, 3] uint8 array (the
+        in-training evaluation path — no folder round-trip)."""
+        imgs = list(np.asarray(images_uint8))
+        stats = FeatureStats(capture_all=capture_all or capture_probs,
+                             capture_mean_cov=capture_mean_cov)
+        probs_all = []
+        for i in range(0, len(imgs), self.batch_size):
+            self._flush(imgs[i:i + self.batch_size], stats, probs_all)
+        stats.probs = np.concatenate(probs_all) if probs_all else None
+        return stats
+
     def _flush(self, batch, stats, probs_all):
         # pad to full batch for one compiled shape
         n_real = len(batch)

@@ -26,10 +26,16 @@ inline void warp_one(const uint8_t* src, int sh, int sw, int c,
   for (int y = 0; y < dh; ++y) {
     for (int x = 0; x < dw; ++x) {
       const double denom = m[6] * x + m[7] * y + m[8];
-      const double inv = (std::fabs(denom) < 1e-12) ? 0.0 : 1.0 / denom;
+      uint8_t* out = dst + (static_cast<size_t>(y) * dw + x) * c;
+      if (std::fabs(denom) < 1e-12) {
+        // Horizon line of the perspective map: BORDER_CONSTANT(0), matching
+        // cv2 and the JAX warp (sampling (0,0) here would disagree).
+        std::memset(out, 0, c);
+        continue;
+      }
+      const double inv = 1.0 / denom;
       const double sx = (m[0] * x + m[1] * y + m[2]) * inv;
       const double sy = (m[3] * x + m[4] * y + m[5]) * inv;
-      uint8_t* out = dst + (static_cast<size_t>(y) * dw + x) * c;
       const int x0 = static_cast<int>(std::floor(sx));
       const int y0 = static_cast<int>(std::floor(sy));
       if (x0 < -1 || y0 < -1 || x0 >= sw || y0 >= sh) {
@@ -91,23 +97,27 @@ inline void erode_one(const uint8_t* src, int h, int w, int k, uint8_t* dst,
   }
 }
 
-void parallel_for(int n, int num_threads, const std::function<void(int)>& fn) {
+// fn(worker, i): `worker` is a dense per-call worker index in
+// [0, min(n, num_threads)) so callers can index per-worker scratch safely
+// even if a persistent thread pool is ever introduced.
+void parallel_for(int n, int num_threads,
+                  const std::function<void(int, int)>& fn) {
   if (n <= 1 || num_threads <= 1) {
-    for (int i = 0; i < n; ++i) fn(i);
+    for (int i = 0; i < n; ++i) fn(0, i);
     return;
   }
   std::atomic<int> next(0);
-  auto worker = [&]() {
+  auto worker = [&](int wid) {
     while (true) {
       const int i = next.fetch_add(1);
       if (i >= n) break;
-      fn(i);
+      fn(wid, i);
     }
   };
   std::vector<std::thread> threads;
   const int t = std::min(n, num_threads);
   threads.reserve(t);
-  for (int i = 0; i < t; ++i) threads.emplace_back(worker);
+  for (int i = 0; i < t; ++i) threads.emplace_back(worker, i);
   for (auto& th : threads) th.join();
 }
 
@@ -122,7 +132,7 @@ void pasta_warp_perspective_batch(const uint8_t* src, int n, int sh, int sw,
                                   int dh, int dw, int num_threads) {
   const size_t src_stride = static_cast<size_t>(sh) * sw * c;
   const size_t dst_stride = static_cast<size_t>(dh) * dw * c;
-  parallel_for(n, num_threads, [&](int i) {
+  parallel_for(n, num_threads, [&](int, int i) {
     warp_one(src + i * src_stride, sh, sw, c, matrices + i * 9,
              dst + i * dst_stride, dh, dw);
   });
@@ -134,11 +144,8 @@ void pasta_erode_batch(const uint8_t* src, int n, int h, int w, int k,
   const size_t stride = static_cast<size_t>(h) * w;
   std::vector<std::vector<uint8_t>> scratch(
       static_cast<size_t>(std::max(1, std::min(n, num_threads))));
-  std::atomic<int> tid_counter(0);
-  thread_local int tls_id = -1;
-  parallel_for(n, num_threads, [&](int i) {
-    if (tls_id < 0) tls_id = tid_counter.fetch_add(1) % scratch.size();
-    auto& tmp = scratch[tls_id];
+  parallel_for(n, num_threads, [&](int worker, int i) {
+    auto& tmp = scratch[static_cast<size_t>(worker) % scratch.size()];
     if (tmp.size() < stride) tmp.resize(stride);
     erode_one(src + i * stride, h, w, k, dst + i * stride, tmp.data());
   });

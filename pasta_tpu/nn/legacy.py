@@ -315,3 +315,117 @@ def apply_random_crop(x, key, target_size, scale_range=(0.25, 0.5),
         m = m.at[:, 1, 1].set(sy).at[:, 1, 2].set(oy[:, j])
         outs.append(warp_perspective(x, m, target_size, target_size))
     return jnp.stack(outs, axis=1)
+
+
+def channel_normalize(x, power=2, eps=1e-7):
+    """Lp-normalize over the channel axis (util_classes.py:6-14 Normalize;
+    NHWC: channels last instead of torch's dim 1)."""
+    norm = jnp.sum(jnp.abs(x) ** power, axis=-1, keepdims=True) ** (1.0 / power)
+    return x / (norm + eps)
+
+
+def apply_offset(offset):
+    """Offset grid -> normalized sampling-location grid
+    (util_classes.py:17-32). NHWC: offset [N, H, W, 2] with channels
+    (dx, dy); returns [N, H, W, 2] with (x, y) in [-1, 1]."""
+    n, h, w, _ = offset.shape
+    gx = jnp.broadcast_to(jnp.arange(w, dtype=offset.dtype)[None, None, :],
+                          (n, h, w))
+    gy = jnp.broadcast_to(jnp.arange(h, dtype=offset.dtype)[None, :, None],
+                          (n, h, w))
+    x = (gx + offset[..., 0]) / ((w - 1.0) / 2.0) - 1.0
+    y = (gy + offset[..., 1]) / ((h - 1.0) / 2.0) - 1.0
+    return jnp.stack([x, y], axis=-1)
+
+
+def _zoo_conv(out_channels, kernel_size, strides=1, use_coord=False,
+              name=None):
+    """coord_conv helper (util_classes.py:96-101): plain conv or CoordConv.
+    Spectral norm is a training-time reparameterization in torch; the zoo
+    ships with use_spect=False everywhere, so it is not replicated here."""
+    if use_coord:
+        return CoordConv(out_channels, kernel_size=kernel_size, name=name)
+    return nn.Conv(out_channels, (kernel_size, kernel_size),
+                   strides=(strides, strides), name=name)
+
+
+class EncoderBlock(nn.Module):
+    """norm-act-conv x2 downsampling block (util_classes.py:103-126)."""
+
+    out_channels: int
+    downsample: bool = True
+    use_coord: bool = False
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.use_norm:
+            x = nn.BatchNorm(use_running_average=not train, name="norm1")(x)
+        x = nn.leaky_relu(x, 0.01)
+        if self.downsample:
+            x = nn.Conv(self.out_channels, (4, 4), strides=(2, 2),
+                        padding=1, name="conv1")(x)
+        else:
+            x = _zoo_conv(self.out_channels, 3, use_coord=self.use_coord,
+                          name="conv1")(x)
+        if self.use_norm:
+            x = nn.BatchNorm(use_running_average=not train, name="norm2")(x)
+        x = nn.leaky_relu(x, 0.01)
+        x = _zoo_conv(self.out_channels, 3, use_coord=self.use_coord,
+                      name="conv2")(x)
+        return x
+
+
+class ResBlockDecoder(nn.Module):
+    """Residual decoder block, optionally 2x-upsampling via transposed conv
+    (util_classes.py:128-157)."""
+
+    out_channels: int
+    hidden_channels: Optional[int] = None
+    upsample: bool = True
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = self.hidden_channels or x.shape[-1]
+        h = x
+        if self.use_norm:
+            h = nn.BatchNorm(use_running_average=not train, name="norm1")(h)
+        h = nn.leaky_relu(h, 0.01)
+        h = nn.Conv(hidden, (3, 3), name="conv1")(h)
+        if self.use_norm:
+            h = nn.BatchNorm(use_running_average=not train, name="norm2")(h)
+        h = nn.leaky_relu(h, 0.01)
+        if self.upsample:
+            # torch ConvTranspose2d(k3, s2, p1, output_padding=1): exact 2x
+            h = nn.ConvTranspose(self.out_channels, (3, 3), strides=(2, 2),
+                                 name="conv2")(h)
+            shortcut = nn.ConvTranspose(self.out_channels, (3, 3),
+                                        strides=(2, 2), name="bypass")(x)
+        else:
+            h = nn.Conv(self.out_channels, (3, 3), name="conv2")(h)
+            shortcut = x
+        return h + shortcut
+
+
+class Jump(nn.Module):
+    """Output head: norm-act-reflectpad-conv (util_classes.py:160-178)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    use_coord: bool = False
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.use_norm:
+            x = nn.BatchNorm(use_running_average=not train, name="norm")(x)
+        x = nn.leaky_relu(x, 0.01)
+        p = self.kernel_size // 2
+        x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+        if self.use_coord:
+            x = AddCoords()(x)
+        # VALID padding: the reflect pad above supplies the borders
+        return nn.Conv(self.out_channels,
+                       (self.kernel_size, self.kernel_size),
+                       padding="VALID", name="conv")(x)

@@ -218,14 +218,14 @@ def assemble_inputs_device(host: Dict[str, jnp.ndarray], mode: str,
     denorm_lower = norm["denorm_lower_img"]
     bound = host["bound"]
     if mode == "upper":
-        kept = (erode(host["lower_mask"], 8) == 255).astype(jnp.float32)
+        kept = (erode(host["lower_mask"], 8) >= 254.5).astype(jnp.float32)
         denorm_lower = host["lower_img"] * kept
         wo_sleeve_mask = (
             jnp.sum(norm["denorm_upper_img_wo_sleeve"], axis=-1,
                     keepdims=True) > 0).astype(jnp.float32)
         bound = zero_bound_above_mask_bottom(bound, wo_sleeve_mask)
     if mode == "lower":
-        kept = (erode(host["upper_mask"], 8) == 255).astype(jnp.float32)
+        kept = (erode(host["upper_mask"], 8) >= 254.5).astype(jnp.float32)
         denorm_upper = host["upper_img"] * kept
     if mode == "full":
         denorm_lower_mask = (

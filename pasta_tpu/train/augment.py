@@ -61,7 +61,6 @@ def _translate2d(tx, ty):
 
 
 def _scale2d(sx, sy):
-    n = sx.shape[0] if hasattr(sx, "shape") and getattr(sx, "ndim", 0) else None
     sx = jnp.asarray(sx)
     sy = jnp.asarray(sy)
     if sx.ndim == 0:

@@ -49,6 +49,13 @@ class TrainConfig:
     # a single chip; unbiased estimator of the same penalty — analogous to
     # the reference's pl_batch_shrink for its path-length reg).
     r1_batch_shrink: int = 1
+    # Decomposed mode only: when True, the parsing-D phase consumes a fresh
+    # generator draw with its own noise key (ks[7], matching the monolithic
+    # step and the reference's per-phase run_G); when False (default) it
+    # reuses the D phase's generator outputs, saving one 512px G forward per
+    # step — with use_noise=True the DP phase then sees different noise
+    # randomness than the monolithic step would.
+    strict_phase_noise: bool = False
 
     @property
     def split_phases(self):  # backward compat
@@ -67,6 +74,11 @@ class TrainConfig:
     mask_weight: float = 30.0
     pl_weight: float = 0.0          # path-length reg is disabled in the
                                     # reference fashion config (train.sh)
+    # Gpl hyperparameters (loss_fullbody.py:203-221, StyleGAN2 defaults):
+    # the reg runs on batch//pl_batch_shrink samples every g_reg_interval
+    # steps; pl_mean is an EMA of path lengths with this decay.
+    pl_batch_shrink: int = 2
+    pl_decay: float = 0.01
     contextual_weight: float = 0.0
     sanitize_grads: bool = True     # nan_to_num on grads
                                     # (training_loop_fullbody.py:634-636)

@@ -16,8 +16,13 @@ model boundaries and chains gradients manually:
     one discriminator (R1 included — grad-of-grad of D alone compiles).
   post: EMA + ADA controller.
 
-Numerics match make_train_step exactly (same noise keys -> same randomness;
-chain rule is associative); equivalence is covered by tests.
+Numerics match make_train_step exactly with use_noise=False (chain rule is
+associative); equivalence is covered by tests. With use_noise=True there is
+one documented deviation: by default the parsing-D phase reuses the D
+phase's generator outputs (one draw, key ks[3]) instead of the monolithic
+step's fresh draw (ks[7]) — saving one 512px G forward per step. Set
+cfg.strict_phase_noise=True to restore the monolithic/reference per-phase
+draws exactly.
 """
 
 from __future__ import annotations
@@ -40,6 +45,9 @@ from .steps import _gt_parsing_onehot
 def make_decomposed_steps(cfg: TrainConfig, vgg_params=None):
     assert cfg.freeze_d_layers == 0 and cfg.grad_accum == 1, (
         "freeze-D / grad accumulation live in the monolithic step")
+    assert cfg.pl_weight == 0, (
+        "path-length regularization is only implemented in the monolithic "
+        "make_train_step (the reference ships it disabled)")
     g, d, dp = make_models(cfg)
     g_opt_tx, d_opt_tx, dp_opt_tx = make_optimizers(cfg)
     sanitize = (lambda t: jax.tree.map(
@@ -277,8 +285,9 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None):
             g_ema_params=g_ema_params, g_ema_buffers=state.g_buffers,
             ada_p=ada_p)
 
-    def step(state, batch, key, do_r1_d=False, do_r1_dp=False):
-        ks = jax.random.split(key, 10)
+    def step(state, batch, key, do_r1_d=False, do_r1_dp=False, do_pl=False):
+        assert not do_pl, "pl reg requires step_mode='monolithic'"
+        ks = jax.random.split(key, 12)  # index layout matches make_train_step
         keys_g = dict(aug1=ks[1], aug2=ks[2])
         keys_d = dict(aug1=ks[4], aug2=ks[5], aug3=ks[6])
 
@@ -301,8 +310,17 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None):
         state, d_metrics = d_phase(state, img, ft, gen_c, batch, keys_d,
                                    do_r1=do_r1_d)
         n_dp = 2 if cfg.double_d_parsing else 1
-        for _ in range(n_dp):
-            state, dp_metrics = dp_phase(state, parsing, gen_c, batch,
+        for i_dp in range(n_dp):
+            if cfg.strict_phase_noise:
+                # Fresh per-phase generator draw (ks[7+i]), matching the
+                # monolithic step exactly at the cost of one extra G forward.
+                (_, _, parsing_i, gen_c_i), _ = g_fwd(
+                    state.g_params, state.g_buffers, batch, ks[7 + i_dp])
+                parsing_i = jax.lax.stop_gradient(parsing_i)
+                gen_c_i = jax.lax.stop_gradient(gen_c_i)
+            else:
+                parsing_i, gen_c_i = parsing, gen_c
+            state, dp_metrics = dp_phase(state, parsing_i, gen_c_i, batch,
                                          do_r1=do_r1_dp)
         state = post_step(state, d_metrics["real_signs"])
         return state, {**g_metrics, **d_metrics, **dp_metrics,

@@ -1,18 +1,28 @@
 """Training orchestration (reference training_loop_fullbody.py:344-789).
 
 Host loop: parallel preprocessing -> shard batch over the data mesh -> one
-jitted SPMD step (all phases) -> periodic status/stats/snapshots/checkpoints.
+jitted SPMD step (all phases) -> periodic status/stats/snapshots/checkpoints
+-> optional in-training metric evaluation (FID/KID on a fixed held-out
+reconstruction set — the reference's metric hook,
+training_loop_fullbody.py:738-748, which it ships commented out).
 
 Improvements over the reference checkpoint story (SURVEY.md §5): orbax
 checkpoints carry optimizer state, EMA, ADA p, and step — resume is exact.
+
+Observability: stdout tees into <run_dir>/log.txt (dnnlib util.Logger),
+per-tick 3-moment stats go to stats.jsonl (every step is aggregated — step
+metrics are fetched lazily in one tick-time transfer, no per-step device
+sync), and scalars go to TensorBoard events when torch.utils.tensorboard
+is importable (training_loop_fullbody.py:766-773 semantics).
 """
 
 from __future__ import annotations
 
 import concurrent.futures
 import os
+import sys
 import time
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 import jax
@@ -23,9 +33,9 @@ from ..data.trainsets import TryonTrainDataset, batch_to_train_inputs
 from ..io.checkpoint import save_checkpoint_variables, load_checkpoint_variables
 from .config import TrainConfig
 from .entry import make_mesh, shard_batch, replicate
-from .state import init_state, TrainState
+from .state import init_state, make_models, TrainState
 from .steps import make_train_step, make_phase_steps
-from .stats import Collector, JsonlLogger
+from .stats import Collector, JsonlLogger, Tee
 
 
 class ParallelLoader:
@@ -75,6 +85,90 @@ def save_image_grid(images, path, drange=(-1, 1), grid_cols=None):
     PIL.Image.fromarray(grid).save(path)
 
 
+class TrainingEvaluator:
+    """In-training metric evaluation on a fixed held-out reconstruction set.
+
+    The EMA generator reconstructs the first `num_items` dataset samples
+    (same-pair, const noise); FID/KID compare detector features of the
+    reconstructions against those samples' reals. Real-side stats are
+    computed once at construction. This is the working version of the
+    reference's snapshot-time metric hook (training_loop_fullbody.py:738-748
+    + metrics/metric_main.py:39-77), which it ships commented out.
+    """
+
+    def __init__(self, cfg: TrainConfig, dataset, detector_params,
+                 num_items: int = 64, batch_size: int = 8,
+                 metrics: Sequence[str] = ("fid",)):
+        from ..metrics.metric_main import DetectorRunner
+
+        self.metrics = tuple(metrics)
+        n = min(num_items, len(dataset))
+        batch_size = min(batch_size, n)
+        self.runner = DetectorRunner(detector_params, batch_size=batch_size)
+        items = [dataset[i] for i in range(n)]
+        self.batches = [
+            batch_to_train_inputs(items[i:i + batch_size])
+            for i in range(0, n - batch_size + 1, batch_size)
+        ]  # full batches only: one compiled forward shape
+        reals = np.concatenate([b["real_img"] for b in self.batches])
+        self.real_stats = self.runner.array_stats(
+            _to_uint8(reals), capture_all=True)
+        self._g, _, _ = make_models(cfg)
+        self._fwd = None
+
+    def _forward(self):
+        if self._fwd is None:
+            g = self._g
+
+            @jax.jit
+            def fwd(params, buffers, batch):
+                n = batch["real_img"].shape[0]
+                _, finetune, _ = g.apply(
+                    {"params": params, "buffers": buffers},
+                    z=jnp.zeros((n, 0)), c=batch["style_input"],
+                    retain=batch["retain"], pose=batch["pose"],
+                    denorm_upper_input=batch["denorm_upper_input"],
+                    denorm_lower_input=batch["denorm_lower_input"],
+                    denorm_upper_mask=batch["denorm_upper_mask"],
+                    denorm_lower_mask=batch["denorm_lower_mask"],
+                    noise_mode="const")
+                return finetune
+
+            self._fwd = fwd
+        return self._fwd
+
+    def __call__(self, state: TrainState) -> dict:
+        fwd = self._forward()
+        fakes = []
+        for b in self.batches:
+            jb = {k: jnp.asarray(v) for k, v in b.items()}
+            fakes.append(np.asarray(jax.device_get(
+                fwd(state.g_ema_params, state.g_ema_buffers, jb))))
+        gen = self.runner.array_stats(
+            _to_uint8(np.concatenate(fakes)), capture_all=True)
+        out = {}
+        for m in self.metrics:
+            if m == "fid":
+                from ..metrics.fid import compute_fid
+
+                mu_r, sig_r = self.real_stats.get_mean_cov()
+                mu_g, sig_g = gen.get_mean_cov()
+                out["fid"] = compute_fid(mu_r, sig_r, mu_g, sig_g)
+            elif m == "kid":
+                from ..metrics.kid import compute_kid
+
+                out["kid"] = compute_kid(self.real_stats.get_all(),
+                                         gen.get_all())
+            else:
+                raise ValueError(f"unsupported in-training metric: {m}")
+        return out
+
+
+def _to_uint8(images_pm1):
+    return ((np.asarray(images_pm1, np.float32) + 1) * 127.5).clip(
+        0, 255).astype(np.uint8)
+
+
 def training_loop(
     cfg: TrainConfig,
     dataset: TryonTrainDataset,
@@ -88,8 +182,31 @@ def training_loop(
     seed: int = 0,
     progress_fn=None,
     abort_fn=None,
+    eval_metrics: Sequence[str] = (),
+    eval_ticks: int = 10,
+    eval_items: int = 64,
+    detector_params=None,
+    tryon_grid_k: int = 0,
 ):
     os.makedirs(run_dir, exist_ok=True)
+    stdout_tee = Tee(sys.stdout, os.path.join(run_dir, "log.txt"))
+    sys.stdout = stdout_tee
+    try:
+        return _training_loop_impl(
+            cfg, dataset, run_dir, vgg_params, resume_path, total_steps,
+            tick_interval, snapshot_ticks, num_workers, seed, progress_fn,
+            abort_fn, eval_metrics, eval_ticks, eval_items, detector_params,
+            tryon_grid_k)
+    finally:
+        sys.stdout = stdout_tee._stream
+        stdout_tee.close()
+
+
+def _training_loop_impl(
+    cfg, dataset, run_dir, vgg_params, resume_path, total_steps,
+    tick_interval, snapshot_ticks, num_workers, seed, progress_fn, abort_fn,
+    eval_metrics, eval_ticks, eval_items, detector_params, tryon_grid_k,
+):
     mesh = make_mesh(cfg.data_axis_size)
     state = init_state(cfg, jax.random.PRNGKey(seed))
     if resume_path is not None:
@@ -115,6 +232,14 @@ def training_loop(
     loader = iter(ParallelLoader(dataset, cfg.batch_size, num_workers, seed))
     logger = JsonlLogger(run_dir)
     collector = Collector()
+    tb_writer = _make_tb_writer(run_dir)
+    evaluator = None
+    if eval_metrics:
+        assert detector_params is not None, (
+            "in-training metrics need detector_params (inception weights)")
+        evaluator = TrainingEvaluator(
+            cfg, dataset, detector_params, num_items=eval_items,
+            metrics=eval_metrics)
 
     if total_steps is None:
         total_steps = cfg.total_kimg * 1000 // cfg.batch_size
@@ -123,37 +248,63 @@ def training_loop(
     start_step = int(jax.device_get(state.step))
     t_tick = time.time()
     images_at_tick = start_step * cfg.batch_size
+    step_metrics = []  # device-side; fetched once per tick (no per-step sync)
 
     for step in range(start_step, total_steps):
         batch_np = next(loader)
         batch = shard_batch(batch_np, mesh)
         key, sub = jax.random.split(key)
         do_r1_d = cfg.r1_gamma != 0 and step % cfg.d_reg_interval == 0
+        do_pl = cfg.pl_weight != 0 and step % cfg.g_reg_interval == 0
         state, metrics = train_step(state, batch, sub, do_r1_d=do_r1_d,
-                                    do_r1_dp=do_r1_d)
+                                    do_r1_dp=do_r1_d, do_pl=do_pl)
+        step_metrics.append(metrics)
 
         if (step + 1) % tick_interval == 0 or step == total_steps - 1:
-            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            collector.report(metrics)
+            for m in jax.device_get(step_metrics):
+                collector.report({k: float(v) for k, v in m.items()})
+            step_metrics.clear()
             cur_nimg = (step + 1) * cfg.batch_size
             dt = time.time() - t_tick
             sec_per_kimg = dt / max((cur_nimg - images_at_tick) / 1000, 1e-9)
             print(
                 f"tick step {step + 1:<7d} kimg {cur_nimg / 1000:<10.1f} "
                 f"sec/kimg {sec_per_kimg:<8.1f} "
-                f"g_loss {metrics.get('g_loss', 0):.3f} "
-                f"d_loss {metrics.get('d_loss', 0):.3f} "
-                f"augment p {metrics.get('ada_p', 0):.3f}",
+                f"g_loss {collector.mean('g_loss'):.3f} "
+                f"d_loss {collector.mean('d_loss'):.3f} "
+                f"augment p {collector.mean('ada_p'):.3f}",
                 flush=True)
-            logger.write({"step": step + 1, "kimg": cur_nimg / 1000,
-                          "sec_per_kimg": sec_per_kimg, **collector.as_dict()})
+            row = {"step": step + 1, "kimg": cur_nimg / 1000,
+                   "sec_per_kimg": sec_per_kimg, **collector.as_dict()}
+
+            tick_idx = (step + 1) // tick_interval
+            if evaluator is not None and (
+                    tick_idx % eval_ticks == 0 or step == total_steps - 1):
+                results = evaluator(state)
+                row.update(results)
+                print("metrics " + " ".join(
+                    f"{k} {v:.2f}" for k, v in results.items()), flush=True)
+            logger.write(row)
+            if tb_writer is not None:
+                for name, val in row.items():
+                    if isinstance(val, dict):
+                        tb_writer.add_scalar(
+                            f"Train/{name}", val["mean"], step + 1)
+                    elif isinstance(val, (int, float)) and name != "step":
+                        tb_writer.add_scalar(
+                            f"Train/{name}", val, step + 1)
+                tb_writer.flush()
             collector.reset()
             t_tick = time.time()
             images_at_tick = cur_nimg
 
-            tick_idx = (step + 1) // tick_interval
             if tick_idx % snapshot_ticks == 0 or step == total_steps - 1:
                 _save_snapshot(cfg, state, batch, run_dir, step + 1)
+                if tryon_grid_k > 0:
+                    save_cross_pair_grid(
+                        cfg, state, dataset.root, run_dir, step + 1,
+                        k=tryon_grid_k, mode="thirds",
+                        image_names=dataset.image_names[:tryon_grid_k])
             if progress_fn is not None:
                 progress_fn(cur_nimg, cfg.total_kimg * 1000)
             if abort_fn is not None and abort_fn():
@@ -162,13 +313,29 @@ def training_loop(
     return state
 
 
+def _make_tb_writer(run_dir):
+    """TensorBoard scalars, when available (training_loop_fullbody.py:422-427
+    guarded-import semantics)."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(log_dir=run_dir)
+    except Exception as e:  # pragma: no cover - depends on environment
+        print(f"skipping tfevents export: {e}", flush=True)
+        return None
+
+
 def save_cross_pair_grid(cfg, state, dataset_root, run_dir, step, k=4,
                          mode="upper", image_names=None):
     """Cross-pair try-on grid: row person x col garment, generated by G_ema.
 
     The reference composes this with a host-side warp compositor
-    (denorm_clothes, training_loop_fullbody.py:77-212); here the standard
-    test-mode preprocessing + serving path produce the same visualization.
+    (denorm_clothes + setup_snapshot_image_grid,
+    training_loop_fullbody.py:77-309); here the standard test-mode
+    preprocessing + serving path produce the same visualization.
+    mode='thirds' reproduces the reference grid composition: the top third
+    of rows swaps pants (lower), the middle third the whole outfit (full),
+    the bottom third tops (upper).
     """
     from ..data import preprocess as pp
     from ..data.testsets import to_model_inputs
@@ -185,10 +352,17 @@ def save_cross_pair_grid(cfg, state, dataset_root, run_dir, step, k=4,
             os.listdir(os.path.join(dataset_root, "image")))[:k]
     people = [pp.load_person(dataset_root, n, with_garment_parsing=True)
               for n in image_names]
+    if mode == "thirds":
+        third = max(len(people) // 3, 1)
+        row_modes = ["lower" if i < third else
+                     "full" if i < 2 * third else "upper"
+                     for i in range(len(people))]
+    else:
+        row_modes = [mode] * len(people)
     items = []
-    for row in people:
+    for row, row_mode in zip(people, row_modes):
         for col in people:
-            items.append(pp.preprocess_pair(row, col, mode))
+            items.append(pp.preprocess_pair(row, col, row_mode))
     if cfg.resolution != 512:
         from ..data.trainsets import _resize_item
 

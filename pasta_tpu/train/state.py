@@ -28,6 +28,7 @@ class TrainState:
     d_opt: Any
     dp_opt: Any
     ada_p: jnp.ndarray              # float32 scalar
+    pl_mean: jnp.ndarray = None     # float32 scalar (path-length EMA)
 
 
 def make_models(cfg: TrainConfig):
@@ -160,4 +161,5 @@ def init_state(cfg: TrainConfig, key) -> TrainState:
         d_opt=d_opt_tx.init(d_vars["params"]),
         dp_opt=dp_opt_tx.init(dp_vars["params"]),
         ada_p=jnp.asarray(cfg.augment_p_init, jnp.float32),
+        pl_mean=jnp.zeros((), jnp.float32),
     )

@@ -47,6 +47,30 @@ class Collector:
         self._sumsq.clear()
 
 
+class Tee:
+    """Mirror a stream (stdout) into a log file (reference dnnlib
+    util.Logger, dnnlib/util.py:56-112 — file tee + autoflush)."""
+
+    def __init__(self, stream, path, mode="at"):
+        self._stream = stream
+        self._file = open(path, mode)
+
+    def write(self, text):
+        self._stream.write(text)
+        self._file.write(text)
+        self._file.flush()
+
+    def flush(self):
+        self._stream.flush()
+        self._file.flush()
+
+    def isatty(self):
+        return getattr(self._stream, "isatty", lambda: False)()
+
+    def close(self):
+        self._file.close()
+
+
 class JsonlLogger:
     def __init__(self, run_dir, fname="stats.jsonl"):
         os.makedirs(run_dir, exist_ok=True)

@@ -210,6 +210,52 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
         metrics = dict(dp_loss=loss_fake + loss_real, dp_r1_penalty=r1)
         return loss, metrics
 
+    def pl_loss_fn(g_params, state: TrainState, batch, noise_key, pl_key):
+        """Path-length regularization (Gpl): penalize the variance of
+        |J_ws^T y| for random image-space directions y.
+
+        The reference ships this phase disabled (loss_fullbody.py:200-221 is
+        commented out and references a gen_ws its run_G no longer returns);
+        formula per StyleGAN2. Runs on batch//pl_batch_shrink samples, and
+        its gradient flows into both the mapping path (through ws) and the
+        synthesis weights (through the double grad), like torch
+        create_graph=True."""
+        n = batch["real_img"].shape[0]
+        bs = max(n // max(cfg.pl_batch_shrink, 1), 1)
+        sub = jax.tree.map(lambda x: x[:bs], batch)
+        variables = {"params": g_params, "buffers": state.g_buffers}
+
+        ws = g.apply(variables, jnp.zeros((bs, 0)), sub["style_input"],
+                     sub["retain"], method="style_and_ws")[2]
+
+        def img_of_ws(w):
+            def run_synthesis(m, w_):
+                pose_feat = m.const_encoding(sub["pose"])
+                _, feats = m.style_encoding(sub["style_input"], sub["retain"])
+                cat_feats = {str(f.shape[1]): f for f in feats}
+                img, _, _ = m.synthesis(
+                    w_, pose_feat, cat_feats, sub["denorm_upper_input"],
+                    sub["denorm_lower_input"], sub["denorm_upper_mask"],
+                    sub["denorm_lower_mask"], sub["gt_parsing"])
+                return img
+
+            return g.apply(variables, w, method=run_synthesis,
+                           rngs={"noise": noise_key})
+
+        img = img_of_ws(ws)
+        hw = img.shape[1] * img.shape[2]
+        pl_noise = jax.random.normal(pl_key, img.shape) / jnp.sqrt(float(hw))
+        pl_grads = jax.grad(lambda w: jnp.sum(img_of_ws(w) * pl_noise))(ws)
+        # [N, num_ws, w_dim] -> per-sample length: sqrt(mean_ws sum_dim g^2)
+        pl_lengths = jnp.sqrt(
+            jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2), axis=1))
+        pl_mean = state.pl_mean + \
+            (jnp.mean(pl_lengths) - state.pl_mean) * cfg.pl_decay
+        pl_penalty = jnp.mean(jnp.square(pl_lengths - pl_mean))
+        # lazy reg: applied every g_reg_interval steps with gain=interval
+        loss = pl_penalty * cfg.pl_weight * cfg.g_reg_interval
+        return loss, (pl_mean, dict(pl_penalty=pl_penalty))
+
     def _microbatches(batch):
         a = cfg.grad_accum
         return jax.tree.map(
@@ -231,33 +277,38 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
 
         def body(carry, xs):
             mb, mb_keys = xs
-            gsum, lsum, _ = carry
+            gsum, lsum, asum = carry
             (loss, aux_new), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, mb, *rest, mb_keys)
             gsum = jax.tree.map(jnp.add, gsum, grads)
-            return (gsum, lsum + loss, aux_new), None
+            asum = jax.tree.map(jnp.add, asum, aux_new)
+            return (gsum, lsum + loss, asum), None
 
         zero_g = jax.tree.map(jnp.zeros_like, params)
         first_mb = jax.tree.map(lambda x: x[0], micro)
-        # aux carry structure without extra compute. NB: buffer updates
-        # (w_avg) see the pre-step buffers in every microbatch; the reference
-        # chains them across rounds — negligible at beta 0.995.
+        # Aux (metrics AND buffer updates) is MEANED over microbatches, so
+        # the ADA controller's real_signs estimate covers the full batch.
+        # For w_avg this is exact: each microbatch's update is
+        # beta*pre + (1-beta)*mean(styles_mb) from the same pre-step buffers
+        # (linear in the style mean), so the microbatch mean equals the
+        # update computed from the full-batch style mean.
         aux_shape = jax.eval_shape(
             lambda p, b: loss_fn(p, b, *rest, keys)[1], params, first_mb)
         aux0 = jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype),
                             aux_shape)
-        (gsum, lsum, aux), _ = jax.lax.scan(
+        (gsum, lsum, asum), _ = jax.lax.scan(
             body, (zero_g, 0.0, aux0), (micro, keys_split))
+        aux = jax.tree.map(lambda x: x / a, asum)
         return (lsum / a, aux), jax.tree.map(lambda g: g / a, gsum)
 
-    @functools.partial(jax.jit, static_argnames=("do_r1_d", "do_r1_dp"))
+    @functools.partial(
+        jax.jit, static_argnames=("do_r1_d", "do_r1_dp", "do_pl"))
     def train_step(state: TrainState, batch, key, do_r1_d: bool = False,
-                   do_r1_dp: bool = False):
+                   do_r1_dp: bool = False, do_pl: bool = False):
         g_opt_tx, d_opt_tx, dp_opt_tx = _get_opts(state.d_params)
         ks = jax.random.split(key, 12)
         keys_g = dict(noise=ks[0], aug1=ks[1], aug2=ks[2])
         keys_d = dict(noise=ks[3], aug1=ks[4], aug2=ks[5], aug3=ks[6])
-        keys_dp = dict(noise=ks[7])
 
         # NOTE on style mixing: the reference gates it by style_mixing_prob
         # (loss_fullbody.py:87-91) but ships prob=0 AND z_dim=0 — with no z
@@ -278,6 +329,24 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
         state = state.replace(
             g_params=g_params, g_buffers=new_g_buffers, g_opt=g_opt)
 
+        # --- Gpl phase (lazy path-length reg; own optimizer step, like the
+        # reference's Greg phase) ---
+        pl_metrics = {}
+        if do_pl:
+            assert cfg.pl_weight != 0, "do_pl requires pl_weight != 0"
+            (_, (new_pl_mean, pl_metrics)), pl_grads = jax.value_and_grad(
+                pl_loss_fn, has_aux=True)(
+                    state.g_params, state, batch, ks[9], ks[10])
+            if cfg.sanitize_grads:
+                pl_grads = jax.tree.map(
+                    lambda x: jnp.nan_to_num(
+                        x, nan=0.0, posinf=1e5, neginf=-1e5), pl_grads)
+            pl_updates, g_opt = g_opt_tx.update(
+                pl_grads, state.g_opt, state.g_params)
+            g_params = optax.apply_updates(state.g_params, pl_updates)
+            state = state.replace(
+                g_params=g_params, g_opt=g_opt, pl_mean=new_pl_mean)
+
         # --- D phase (sees updated G, like the reference phase order) ---
         (d_loss, d_metrics), d_grads = _accum_grad(
             lambda p, b, gp, gb, s_, r_, k_: d_loss_fn(
@@ -292,10 +361,12 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
         d_params = optax.apply_updates(state.d_params, d_updates)
         state = state.replace(d_params=d_params, d_opt=d_opt)
 
-        # --- parsing-D phase(s) ---
+        # --- parsing-D phase(s) --- (each registered phase draws its own
+        # fresh generator noise, like the reference's per-phase run_G)
         n_dp = 2 if cfg.double_d_parsing else 1
         dp_metrics = {}
-        for _ in range(n_dp):
+        for i_dp in range(n_dp):
+            keys_dp = dict(noise=ks[7 + i_dp])
             (dp_loss, dp_metrics), dp_grads = _accum_grad(
                 lambda p, b, gp, gb, s_, r_, k_: dp_loss_fn(
                     p, gp, gb, s_, b, k_, r_),
@@ -332,7 +403,8 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
             g_ema_buffers=g_ema_buffers,
             ada_p=ada_p,
         )
-        metrics = dict(ada_p=ada_p, **g_metrics, **d_metrics, **dp_metrics)
+        metrics = dict(ada_p=ada_p, **g_metrics, **d_metrics, **dp_metrics,
+                       **pl_metrics)
         return state, metrics
 
     return train_step
@@ -347,6 +419,9 @@ def make_phase_steps(cfg: TrainConfig, vgg_params=None):
     assert cfg.freeze_d_layers == 0 and cfg.grad_accum == 1, (
         "freeze-D / grad accumulation are handled by the monolithic "
         "make_train_step; split-phase mode targets compiler-size limits")
+    assert cfg.pl_weight == 0, (
+        "path-length regularization is only implemented in the monolithic "
+        "make_train_step (the reference ships it disabled)")
     import functools as _ft
 
     inner = _build_phase_fns(cfg, vgg_params)
@@ -367,13 +442,14 @@ def make_phase_steps(cfg: TrainConfig, vgg_params=None):
     def post_step(state, real_signs):
         return inner["post"](state, real_signs)
 
-    def step(state, batch, key, do_r1_d=False, do_r1_dp=False):
+    def step(state, batch, key, do_r1_d=False, do_r1_dp=False, do_pl=False):
+        assert not do_pl, "pl reg requires step_mode='monolithic'"
         k1, k2, k3 = jax.random.split(key, 3)
         state, g_metrics = g_step(state, batch, k1)
         state, d_metrics = d_step(state, batch, k2, do_r1=do_r1_d)
         n_dp = 2 if cfg.double_d_parsing else 1
-        for _ in range(n_dp):
-            state, dp_metrics = dp_step(state, batch, k3, do_r1=do_r1_dp)
+        for k3i in jax.random.split(k3, n_dp):
+            state, dp_metrics = dp_step(state, batch, k3i, do_r1=do_r1_dp)
         state = post_step(state, d_metrics["real_signs"])
         return state, {**g_metrics, **d_metrics, **dp_metrics,
                        "ada_p": state.ada_p}

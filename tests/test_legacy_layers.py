@@ -141,3 +141,74 @@ class TestCihp:
         assert maps.shape == (32, 32, 2)
         assert maps[20, 10, 0] == pytest.approx(1.0)
         assert maps[..., 1].sum() == 0  # low-confidence joint zeroed
+
+
+class TestZooStragglers:
+    """util_classes.py:6-178 — Normalize, apply_offset, EncoderBlock,
+    ResBlockDecoder, Jump."""
+
+    def test_channel_normalize_matches_torch(self):
+        import torch
+        from pasta_tpu.nn.legacy import channel_normalize
+
+        x = np.random.RandomState(0).randn(2, 4, 4, 8).astype(np.float32)
+        ours = np.asarray(channel_normalize(jnp.asarray(x)))
+        t = torch.from_numpy(x).permute(0, 3, 1, 2)
+        norm = t.pow(2).sum(1, keepdim=True).pow(0.5)
+        ref = (t / (norm + 1e-7)).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+    def test_apply_offset_matches_torch(self):
+        import torch
+        from pasta_tpu.nn.legacy import apply_offset
+
+        off = np.random.RandomState(1).randn(2, 5, 7, 2).astype(np.float32)
+        ours = np.asarray(apply_offset(jnp.asarray(off)))
+
+        toff = torch.from_numpy(off).permute(0, 3, 1, 2)  # [N, 2, H, W]
+        sizes = list(toff.size()[2:])
+        grids = torch.meshgrid(
+            [torch.arange(s) for s in sizes], indexing="ij")
+        grids = list(reversed(grids))
+        grids = [g.float().unsqueeze(0) + toff[:, d] for d, g in
+                 enumerate(grids)]
+        grids = [g / ((s - 1.0) / 2.0) - 1.0
+                 for g, s in zip(grids, reversed(sizes))]
+        ref = torch.stack(grids, dim=-1).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+    def test_encoder_block_shapes(self):
+        from pasta_tpu.nn.legacy import EncoderBlock
+
+        x = jnp.ones((2, 16, 16, 8))
+        m = EncoderBlock(out_channels=12, downsample=True)
+        vs = m.init(jax.random.PRNGKey(0), x)
+        y, _ = m.apply(vs, x, train=True, mutable=["batch_stats"])
+        assert y.shape == (2, 8, 8, 12)
+        m2 = EncoderBlock(out_channels=12, downsample=False, use_coord=True)
+        vs2 = m2.init(jax.random.PRNGKey(0), x)
+        y2, _ = m2.apply(vs2, x, train=True, mutable=["batch_stats"])
+        assert y2.shape == (2, 16, 16, 12)
+
+    def test_resblock_decoder_shapes(self):
+        from pasta_tpu.nn.legacy import ResBlockDecoder
+
+        x = jnp.ones((2, 8, 8, 16))
+        m = ResBlockDecoder(out_channels=8, upsample=True)
+        vs = m.init(jax.random.PRNGKey(0), x)
+        y, _ = m.apply(vs, x, train=True, mutable=["batch_stats"])
+        assert y.shape == (2, 16, 16, 8)
+        m2 = ResBlockDecoder(out_channels=16, upsample=False)
+        vs2 = m2.init(jax.random.PRNGKey(0), x)
+        y2, _ = m2.apply(vs2, x, train=True, mutable=["batch_stats"])
+        assert y2.shape == (2, 8, 8, 16)
+
+    @pytest.mark.parametrize("use_coord", [False, True])
+    def test_jump_shapes(self, use_coord):
+        from pasta_tpu.nn.legacy import Jump
+
+        x = jnp.ones((2, 8, 8, 16))
+        m = Jump(out_channels=3, kernel_size=3, use_coord=use_coord)
+        vs = m.init(jax.random.PRNGKey(0), x)
+        y, _ = m.apply(vs, x, train=True, mutable=["batch_stats"])
+        assert y.shape == (2, 8, 8, 3)

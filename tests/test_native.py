@@ -43,3 +43,13 @@ class TestNativeErode:
         for i in range(6):
             ref = cv2.erode(masks[i], np.ones((k, k), np.uint8), iterations=1)
             np.testing.assert_array_equal(ours[i], ref)
+
+
+    def test_degenerate_denominator_is_border_zero(self):
+        # Pixels on the horizon line (denom ~ 0) must write BORDER_CONSTANT(0)
+        # like cv2/JAX, not sample source pixel (0, 0).
+        img = np.full((1, 8, 8, 1), 200, np.uint8)
+        m = np.eye(3)
+        m[2] = [0.0, 0.0, 0.0]  # denominator identically zero everywhere
+        out = native.warp_perspective_batch(img[:1], m[None], 8, 8)
+        np.testing.assert_array_equal(out, 0)
