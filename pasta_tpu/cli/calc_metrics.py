@@ -23,6 +23,10 @@ def parse_args(argv=None):
     p.add_argument("--gen", required=True)
     p.add_argument("--detector", required=True,
                    help="inception_v3 weights (.npz or torch .pth)")
+    p.add_argument("--vgg16-detector", default=None,
+                   help="torchvision vgg16 weights; when given, `pr` uses "
+                        "VGG16 fc7 features (the reference PR detector) "
+                        "instead of inception features")
     p.add_argument("--max-items", type=int, default=None)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--cache-dir", default=None)
@@ -36,19 +40,25 @@ def main(argv=None):
     args = parse_args(argv)
     from ..metrics.metric_main import (
         DetectorRunner, calc_metric, is_valid_metric, list_metrics,
-        load_detector)
+        load_detector, load_vgg16_detector)
 
     metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
     for m in metrics:
         if not is_valid_metric(m):
             raise SystemExit(f"unknown metric '{m}'; valid: {list_metrics()}")
     runner = DetectorRunner(load_detector(args.detector), args.batch)
+    vgg_runner = None
+    if args.vgg16_detector:
+        vgg_runner = DetectorRunner(
+            load_vgg16_detector(args.vgg16_detector), args.batch,
+            kind="vgg16")
     crop = None
     if args.crop_generated:
         crop = (0, 512, 640, 960)  # generated panel of the 960x512 composite
     for m in metrics:
         record = calc_metric(
-            m, runner, args.real, args.gen, run_dir=args.run_dir,
+            m, vgg_runner if (m == "pr" and vgg_runner is not None) else runner,
+            args.real, args.gen, run_dir=args.run_dir,
             max_items=args.max_items, cache_dir=args.cache_dir, crop=crop)
         print(json.dumps(record["results"]))
 

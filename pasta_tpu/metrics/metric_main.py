@@ -44,16 +44,30 @@ def list_metrics():
 
 
 class DetectorRunner:
-    """Batched jitted feature extraction over image folders."""
+    """Batched jitted feature extraction over image folders.
 
-    def __init__(self, detector_params, batch_size=32):
+    kind='inception' -> 2048-d pool3 features (+softmax probs for IS);
+    kind='vgg16'     -> 4096-d fc7 features (the reference PR detector,
+                        metrics/precision_recall.py:37-46; no probs).
+    """
+
+    def __init__(self, detector_params, batch_size=32, kind="inception"):
+        assert kind in ("inception", "vgg16")
         self.params = detector_params
         self.batch_size = batch_size
+        self.kind = kind
 
-        @jax.jit
-        def _features(params, images):
-            return inception_features(
-                params, preprocess_images(images), return_logits=True)
+        if kind == "inception":
+            @jax.jit
+            def _features(params, images):
+                return inception_features(
+                    params, preprocess_images(images), return_logits=True)
+        else:
+            from .vgg16 import fc_features
+
+            @jax.jit
+            def _features(params, images):
+                return fc_features(params, images), None
 
         self._features = _features
 
@@ -62,7 +76,8 @@ class DetectorRunner:
                      crop=None):
         if cache_dir is not None:
             path = cache_path(cache_dir, "feats", folder=folder,
-                              max_items=max_items, crop=crop)
+                              max_items=max_items, crop=crop,
+                              detector=self.kind)
             if os.path.exists(path):
                 return FeatureStats.load(path)
         files = sorted(
@@ -118,9 +133,10 @@ class DetectorRunner:
             if b.shape != shape0 else b for b in batch])
         feats, logits = self._features(self.params, jnp.asarray(arr))
         feats = np.asarray(feats)[:n_real]
-        probs = np.asarray(jax.nn.softmax(logits, axis=-1))[:n_real]
         stats.append(feats)
-        probs_all.append(probs)
+        if logits is not None:
+            probs = np.asarray(jax.nn.softmax(logits, axis=-1))[:n_real]
+            probs_all.append(probs)
 
 
 @register_metric
@@ -190,16 +206,26 @@ def calc_metric(metric, runner, real_dir, gen_dir, run_dir=None, **kwargs):
     return record
 
 
-def load_detector(path):
-    """Load inception weights (.npz flat or torch .pth state dict)."""
+def _load_state(path):
     if path.endswith(".npz"):
         data = np.load(path)
-        state = {k: data[k] for k in data.files}
-    else:
-        import torch
+        return {k: data[k] for k in data.files}
+    import torch
 
-        obj = torch.load(path, map_location="cpu", weights_only=False)
-        if hasattr(obj, "state_dict"):
-            obj = obj.state_dict()
-        state = {k: v.numpy() for k, v in obj.items()}
-    return import_inception_torch_state(state)
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return {k: v.numpy() for k, v in obj.items()}
+
+
+def load_detector(path):
+    """Load inception weights (.npz flat or torch .pth state dict)."""
+    return import_inception_torch_state(_load_state(path))
+
+
+def load_vgg16_detector(path, lpips_path=None):
+    """Load torchvision-vgg16 weights (+ optional LPIPS lin weights)."""
+    from .vgg16 import import_vgg16_torch_state
+
+    lpips_state = _load_state(lpips_path) if lpips_path else None
+    return import_vgg16_torch_state(_load_state(path), lpips_state)

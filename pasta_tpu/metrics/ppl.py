@@ -9,8 +9,10 @@ reimplementation adapted to the conditional try-on generator:
     latent is the 512-d style code, z_dim=0)
   * lerp with a random t, perturb by epsilon, synthesize both, and measure
     the scaled perceptual distance  d(I_t, I_{t+eps}) / eps^2
-  * the perceptual metric is a pluggable feature extractor (VGG16-LPIPS in
-    the reference; inception features by default here — documented deviation)
+  * the perceptual metric is a pluggable feature extractor; use
+    `make_lpips_feature_fn(vgg16_params)` for the reference's VGG16-LPIPS
+    space (perceptual_path_length.py:55-60, 82-93) — squared feature
+    distance == LPIPS — or any other [N,D] embedding
 """
 
 from __future__ import annotations
@@ -18,6 +20,26 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+def make_lpips_feature_fn(vgg16_params, downsample_to=256):
+    """LPIPS embedding feature_fn for compute_ppl (reference downsamples
+    >256px images to 256 before the detector,
+    perceptual_path_length.py:78-84)."""
+    from .vgg16 import lpips_features
+
+    def feature_fn(images_pm1):
+        h = images_pm1.shape[1]
+        if downsample_to and h > downsample_to:
+            factor = h // downsample_to
+            n, hh, ww, c = images_pm1.shape
+            images_pm1 = jnp.mean(
+                images_pm1.reshape(
+                    n, hh // factor, factor, ww // factor, factor, c),
+                axis=(2, 4))
+        return lpips_features(vgg16_params, images_pm1)
+
+    return feature_fn
 
 
 def lerp(a, b, t):
