@@ -97,12 +97,15 @@ def draw_pose(pose_joints, img_size=(512, 320), radius=5, draw_limbs=True):
 
 
 def load_keypoints(path, img_size=(512, 320)):
-    """Load an OpenPose JSON and rasterize the skeleton.
+    """Load an OpenPose JSON (path or file-like) and rasterize the skeleton.
 
     Returns (pose_img [H, W, 3] uint8, keypoints [18, 3]).
     """
-    with open(path, "r") as f:
-        data = json.load(f)
+    if hasattr(path, "read"):
+        data = json.load(path)
+    else:
+        with open(path, "r") as f:
+            data = json.load(f)
     if len(data["people"]) == 0:
         keypoints = np.zeros((18, 3))
     else:

@@ -27,6 +27,7 @@ import PIL.Image
 
 from .pose import load_keypoints, get_palm_mask
 from .geometry import get_crop_matrices, BODY_PARTS, SLEEVE_PARTS, LOWER_PARTS
+from .roots import as_root
 
 RES = 512
 PATCH = 128  # box_factor=2: 512 / 2**2
@@ -58,9 +59,12 @@ def load_person(root, image_name, with_garment_parsing=False):
 
     Mirrors the reference file layout (dataset.py:1979-1987): image/<name>,
     keypoints/<name>_keypoints.json, parsing/<name>.png,
-    garment_parsing/<name>.png.
+    garment_parsing/<name>.png. `root` is a directory path, a .zip path
+    (dataset_tool output; reference zip semantics dataset.py:189-399), or a
+    DataRoot.
     """
-    img = np.array(PIL.Image.open(os.path.join(root, "image", image_name)))
+    root = as_root(root)
+    img = root.decode_image(f"image/{image_name}")
     h, w = img.shape[:2]
     left, right = _pad_width(h, w)
     image = np.pad(img, ((0, 0), (left, right), (0, 0)), "constant",
@@ -68,21 +72,20 @@ def load_person(root, image_name, with_garment_parsing=False):
 
     stem = os.path.splitext(image_name)[0]
     pose_img, keypoints = load_keypoints(
-        os.path.join(root, "keypoints", stem + "_keypoints.json"),
+        root.open(f"keypoints/{stem}_keypoints.json"),
         img_size=(h, w))
     pose_img = np.pad(pose_img, ((0, 0), (left, right), (0, 0)), "constant",
                       constant_values=(0, 0))
     keypoints = keypoints.copy()
     keypoints[:, 0] += left
 
-    parsing = cv2.imread(os.path.join(root, "parsing", stem + ".png"))[..., 0:1]
+    parsing = root.decode_cv2(f"parsing/{stem}.png")[..., 0:1]
     parsing = np.pad(parsing, ((0, 0), (left, right), (0, 0)), "constant",
                      constant_values=(0, 0))
 
     garment_parsing = None
-    if with_garment_parsing:
-        gp_path = os.path.join(root, "garment_parsing", stem + ".png")
-        gp = cv2.imread(gp_path)
+    if with_garment_parsing and root.exists(f"garment_parsing/{stem}.png"):
+        gp = root.decode_cv2(f"garment_parsing/{stem}.png")
         if gp is not None:
             garment_parsing = np.pad(
                 gp[..., 0:1], ((0, 0), (left, right), (0, 0)), "constant",

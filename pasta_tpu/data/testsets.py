@@ -23,18 +23,24 @@ class TryonPairDataset:
 
     def __init__(self, root: str, pairs_txt: str, mode: str = "upper",
                  use_sleeve_mask: bool = True):
+        from .roots import as_root
+
         assert mode in ("full", "upper", "lower")
-        self.root = root
+        self.root = as_root(root)
         self.mode = mode
         self.use_sleeve_mask = use_sleeve_mask
         self.pairs = []
-        with open(os.path.join(root, pairs_txt), "r") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                clothes_name, person_name = line.split()
-                self.pairs.append((person_name, clothes_name))
+        if os.path.isfile(pairs_txt):           # absolute/relative file path
+            with open(pairs_txt, "r") as f:
+                text = f.read()
+        else:                                   # entry inside the root
+            text = self.root.read(pairs_txt).decode()
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            clothes_name, person_name = line.split()
+            self.pairs.append((person_name, clothes_name))
 
     def __len__(self):
         return len(self.pairs)

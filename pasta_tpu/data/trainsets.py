@@ -172,7 +172,8 @@ def _resize_item(item, res):
 
 
 class TryonTrainDataset:
-    """Iterable same-person training dataset over an image-folder layout.
+    """Iterable same-person training dataset over an image-folder layout or
+    a dataset_tool zip (reference zip semantics, dataset.py:189-399).
 
     Each sample needs image/, keypoints/, parsing/, garment_parsing/ entries
     (the reference's multi-source txt-list plumbing maps to passing an
@@ -182,11 +183,13 @@ class TryonTrainDataset:
                  use_sleeve_mask: bool = True,
                  occlusion_mask_dir: Optional[str] = None,
                  resolution: int = RES):
-        self.root = root
+        from .roots import as_root
+
+        self.root = as_root(root)
         self.use_sleeve_mask = use_sleeve_mask
         self.resolution = resolution
         if image_names is None:
-            image_names = sorted(os.listdir(os.path.join(root, "image")))
+            image_names = self.root.list("image")
         self.image_names = list(image_names)
         self.rng = np.random.RandomState(seed)
         self.occlusion_mask_dir = occlusion_mask_dir

@@ -1,0 +1,144 @@
+"""Zip dataset reading + rank-strided sampler tests (VERDICT round-2 #7).
+
+Round-trip: dataset_tool packs the fixture data into a zip; the train/pair
+datasets must produce identical samples from the zip and the directory
+(reference ImageFolderDataset zip semantics, dataset.py:189-399).
+"""
+
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+FIXTURES = "/root/reference/test_datas"
+
+needs_fixtures = pytest.mark.skipif(
+    not os.path.isdir(FIXTURES), reason="fixture data not available")
+
+
+# ---------------------------------------------------------------------------
+# sampler
+
+
+class TestInfiniteSampler:
+    def test_rank_disjoint_union(self):
+        from pasta_tpu.data.sampler import infinite_sampler
+
+        n, replicas, take = 13, 4, 200
+        streams = []
+        for rank in range(replicas):
+            it = infinite_sampler(n, rank=rank, num_replicas=replicas, seed=3)
+            streams.append([next(it) for _ in range(take)])
+        # Reconstruct the global stream: rank r holds positions
+        # idx % replicas == r, in order. Interleaving them back must visit
+        # every dataset element (coverage) with a valid index range.
+        merged = []
+        for i in range(take):
+            for r in range(replicas):
+                merged.append(streams[r][i])
+        assert set(merged) == set(range(n))
+
+    def test_deterministic(self):
+        from pasta_tpu.data.sampler import infinite_sampler
+
+        a = infinite_sampler(50, seed=7)
+        b = infinite_sampler(50, seed=7)
+        assert [next(a) for _ in range(100)] == [next(b) for _ in range(100)]
+
+    def test_no_shuffle_is_sequential(self):
+        from pasta_tpu.data.sampler import infinite_sampler
+
+        it = infinite_sampler(5, shuffle=False)
+        assert [next(it) for _ in range(12)] == [0, 1, 2, 3, 4, 0, 1, 2, 3, 4,
+                                                 0, 1]
+
+    def test_window_shuffle_covers_all(self):
+        from pasta_tpu.data.sampler import infinite_sampler
+
+        n = 32
+        it = infinite_sampler(n, seed=0, window_size=0.5)
+        seen = set(next(it) for _ in range(5 * n))
+        assert seen == set(range(n))
+
+
+# ---------------------------------------------------------------------------
+# zip roots
+
+
+@needs_fixtures
+class TestZipDatasets:
+    @pytest.fixture(scope="class")
+    def packed_zip(self, tmp_path_factory):
+        from pasta_tpu.cli.dataset_tool import main as pack
+
+        dest = str(tmp_path_factory.mktemp("zipds") / "train.zip")
+        pack(["--source", FIXTURES, "--dest", dest, "--max-images", "6"])
+        # carry the pair list into the zip so TryonPairDataset can read it
+        with zipfile.ZipFile(dest, "a") as zf:
+            with open(os.path.join(FIXTURES, "test_pairs.txt")) as f:
+                zf.writestr("test_pairs.txt", f.read())
+        return dest
+
+    def test_dataroot_list_matches_dir(self, packed_zip):
+        from pasta_tpu.data.roots import DataRoot
+
+        zroot = DataRoot(packed_zip)
+        names = zroot.list("image")
+        assert 0 < len(names) <= 6
+        for n in names:
+            assert zroot.exists(f"image/{n}")
+        assert not zroot.exists("image/notthere.png")
+
+    def test_load_person_zip_equals_dir(self, packed_zip):
+        from pasta_tpu.data.preprocess import load_person
+        from pasta_tpu.data.roots import DataRoot
+
+        zroot = DataRoot(packed_zip)
+        name = zroot.list("image")[0]
+        a = load_person(FIXTURES, name, with_garment_parsing=True)
+        b = load_person(zroot, name, with_garment_parsing=True)
+        np.testing.assert_array_equal(a.image, b.image)
+        np.testing.assert_array_equal(a.parsing, b.parsing)
+        np.testing.assert_array_equal(a.keypoints, b.keypoints)
+        if a.garment_parsing is not None:
+            np.testing.assert_array_equal(a.garment_parsing,
+                                          b.garment_parsing)
+
+    def test_train_dataset_from_zip(self, packed_zip):
+        from pasta_tpu.data.trainsets import TryonTrainDataset
+
+        ds_zip = TryonTrainDataset(packed_zip, seed=0, resolution=128)
+        ds_dir = TryonTrainDataset(
+            FIXTURES, image_names=ds_zip.image_names, seed=0, resolution=128)
+        item_z = ds_zip[0]
+        item_d = ds_dir[0]
+        # Same person, same rng seed -> identical augmentation draws.
+        for k in ("image", "gt_parsing", "retain_mask"):
+            np.testing.assert_array_equal(item_z[k], item_d[k])
+
+    def test_threaded_zip_reads(self, packed_zip):
+        """ParallelLoader thread pool reading one zip concurrently."""
+        from pasta_tpu.data.trainsets import TryonTrainDataset
+        from pasta_tpu.train.loop import ParallelLoader
+
+        ds = TryonTrainDataset(packed_zip, seed=0, resolution=64)
+        loader = iter(ParallelLoader(ds, batch_size=4, num_workers=4))
+        batch = next(loader)
+        assert batch["real_img"].shape[0] == 4
+
+    def test_pair_dataset_from_zip(self, packed_zip):
+        from pasta_tpu.data.testsets import TryonPairDataset
+
+        ds = TryonPairDataset(packed_zip, "test_pairs.txt", mode="upper")
+        # pairs referencing images outside the 6 packed ones will fail to
+        # load; find one fully-contained pair
+        from pasta_tpu.data.roots import DataRoot
+
+        names = set(DataRoot(packed_zip).list("image"))
+        ok = [i for i, (p, c) in enumerate(ds.pairs)
+              if p in names and c in names]
+        if not ok:
+            pytest.skip("no fully-packed pair in the 6-image subset")
+        item = ds[ok[0]]
+        assert item["norm_img"].shape[-1] == 30
