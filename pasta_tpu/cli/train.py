@@ -50,6 +50,16 @@ def parse_args(argv=None):
                    choices=["monolithic", "phases", "decomposed"],
                    help="step compilation granularity; 'decomposed' for "
                         "toolchains that cannot compile the fused 512px step")
+    # Performance knobs (reference fp16 policy train.py:196-197; remat is
+    # TPU-specific — fits the monolithic 512px step in one chip's HBM).
+    p.add_argument("--d-bf16-res", type=int, default=3,
+                   help="top-N D resolutions in bf16 (reference ships 3)")
+    p.add_argument("--g-bf16-res", type=int, default=0,
+                   help="top-N G synthesis resolutions in bf16 compute")
+    p.add_argument("--remat", type=lambda s: s == "True", default=True,
+                   help="rematerialize synthesis blocks in backward")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="microbatch accumulation rounds per step")
     # Multi-host bootstrap (replaces the reference's file:// NCCL rendezvous,
     # train.py:394-401): pass the coordinator on every process of a pod.
     p.add_argument("--coordinator", default=None,
@@ -97,6 +107,10 @@ def build_config(args):
         use_ada=args.aug != "noaug",
         augment_p_init=args.p if args.aug == "fixed" else 0.0,
         step_mode=args.step_mode,
+        d_num_bf16_res=args.d_bf16_res,
+        g_num_bf16_res=args.g_bf16_res,
+        remat=args.remat,
+        grad_accum=args.grad_accum,
     )
     if args.batch is not None:
         updates["batch_size"] = args.batch
@@ -136,6 +150,32 @@ def load_vgg_params(path):
     return import_vgg19_torch_state(state)
 
 
+def _warmup_collectives():
+    """Create the cross-process collective context while processes are in
+    lockstep (just after jax.distributed.initialize).
+
+    The first collective's communicator rendezvous has a short timeout
+    (30s for the CPU backend's gloo); the first *training-step* execution
+    can be minutes apart across processes when compiles are slow, so the
+    communicator must exist before then. One tiny all-reduce over all
+    global devices does it.
+    """
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs, ("data",))
+    local = np.ones((len(jax.local_devices()), 1), np.float32)
+    x = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), local)
+    total = jax.jit(
+        lambda a: a.sum(), out_shardings=NamedSharding(mesh, P()))(x)
+    np.testing.assert_allclose(float(total), len(devs))
+    print(f"collective warmup OK across {len(devs)} devices "
+          f"({jax.process_count()} processes)", flush=True)
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.coordinator is not None:
@@ -145,10 +185,19 @@ def main(argv=None):
             coordinator_address=args.coordinator,
             num_processes=args.num_processes,
             process_id=args.process_id)
+        if (args.num_processes or 1) > 1:
+            _warmup_collectives()
     cfg = build_config(args)
 
-    run_dir = next_run_dir(
-        args.outdir, f"{args.cfg}-b{cfg.batch_size}-d{cfg.data_axis_size}")
+    pid = args.process_id or 0
+    if pid == 0:
+        run_dir = next_run_dir(
+            args.outdir, f"{args.cfg}-b{cfg.batch_size}-d{cfg.data_axis_size}")
+    else:
+        # Non-chief processes keep their own scratch dir (log.txt tee etc.);
+        # process 0 owns the canonical run dir.
+        run_dir = os.path.join(args.outdir, f"proc{pid}")
+        os.makedirs(run_dir, exist_ok=True)
     with open(os.path.join(run_dir, "training_options.json"), "w") as f:
         json.dump({**dataclasses.asdict(cfg), "args": vars(args)}, f, indent=2)
     print(f"run dir: {run_dir}")

@@ -43,6 +43,15 @@ class SynthesisNetwork(nn.Module):
     channel_max: int = 512
     conv_clamp: Optional[float] = None
     use_noise: bool = True
+    # bf16 compute for the top-N-resolution blocks (style + texture + SPADE);
+    # params stay fp32, torgb/parsing outputs stay fp32. The reference forces
+    # G fp32 (networks.py:2294) — this is the TPU training-speed lever.
+    num_bf16_res: int = 0
+    # jax.checkpoint each synthesis block: peak-activation memory of the
+    # backward drops to ~one block's activations (plus per-block inputs) at
+    # the cost of one extra forward — how the monolithic 512px train step
+    # fits a single chip's HBM.
+    remat: bool = False
 
     @property
     def block_resolutions(self):
@@ -58,13 +67,15 @@ class SynthesisNetwork(nn.Module):
 
         Built once; shared between the upper and lower garment paths."""
         ngf = 64
+        conv_cls = nn.remat(Conv2dLayer) if self.remat else Conv2dLayer
+        res_cls = nn.remat(ResBlock) if self.remat else ResBlock
         layers = (
-            Conv2dLayer(3, ngf, kernel_size=7, activation="relu",
-                        name="spade_encoder.0"),
-            ResBlock(ngf, ngf, kernel_size=4, activation="relu",
-                     name="spade_encoder.1"),
-            ResBlock(ngf, ngf * 2, kernel_size=4, activation="relu", down=2,
-                     name="spade_encoder.2"),
+            conv_cls(3, ngf, kernel_size=7, activation="relu",
+                     name="spade_encoder.0"),
+            res_cls(ngf, ngf, kernel_size=4, activation="relu",
+                    name="spade_encoder.1"),
+            res_cls(ngf, ngf * 2, kernel_size=4, activation="relu", down=2,
+                    name="spade_encoder.2"),
         )
 
         def encode(x):
@@ -102,6 +113,9 @@ class SynthesisNetwork(nn.Module):
         resolutions = self.block_resolutions
         channels = _channels_dict(resolutions, self.channel_base, self.channel_max)
         ws = ws.astype(jnp.float32)
+        res_log2 = int(math.log2(self.img_resolution))
+        bf16_res = max(2 ** (res_log2 + 1 - self.num_bf16_res), 16) \
+            if self.num_bf16_res > 0 else self.img_resolution * 2
 
         block_common = dict(
             w_dim=self.w_dim,
@@ -109,6 +123,13 @@ class SynthesisNetwork(nn.Module):
             conv_clamp=self.conv_clamp,
             use_noise=self.use_noise,
         )
+        style_cls, texture_cls, spade_cls = (
+            SynthesisBlockStyle, SynthesisBlockTexture, SpadeResBlock)
+        if self.remat:
+            # noise_mode is the only non-array argument (static).
+            style_cls = nn.remat(SynthesisBlockStyle, static_argnums=(6,))
+            texture_cls = nn.remat(SynthesisBlockTexture, static_argnums=(7,))
+            spade_cls = nn.remat(SpadeResBlock)
 
         # Style branch: b8 ... b512. torgb of block k shares its w with
         # block k+1's conv0 (reference ws.narrow slicing, networks.py:2281-2289).
@@ -119,18 +140,21 @@ class SynthesisNetwork(nn.Module):
         for res in resolutions:
             in_ch = channels[res // 2] if res > 8 else 0
             n_conv = 1 if res == 8 else 2
-            block = SynthesisBlockStyle(
+            block = style_cls(
                 in_channels=in_ch,
                 out_channels=channels[res],
                 resolution=res,
                 is_last=(res == self.img_resolution),
                 is_style=True,
+                use_bf16=(res >= bf16_res),
                 name=f"b{res}",
                 **block_common,
             )
             cur_ws = ws[:, w_idx : w_idx + n_conv + 1]
+            # noise_mode positionally: nn.remat static_argnums indexes
+            # positional args only (self=0).
             x, img, pp = block(x, img, cur_ws, pose_feat, cat_feat,
-                               noise_mode=noise_mode)
+                               noise_mode)
             if pp is not None:
                 pred_parsing = pp
             if res == resolutions[-2]:
@@ -168,27 +192,31 @@ class SynthesisNetwork(nn.Module):
         )
 
         res_256 = resolutions[-2]
-        x_spade = SpadeResBlock(
+        spade_dtype = jnp.bfloat16 if res_256 >= bf16_res else jnp.float32
+        x_spade = spade_cls(
             channels[res_256], channels[res_256], spade_channels=128,
-            conv_clamp=self.conv_clamp, name="spade_b256_1")(x_256, spade_feat)
-        x_spade = SpadeResBlock(
+            conv_clamp=self.conv_clamp, name="spade_b256_1")(
+                x_256.astype(spade_dtype), spade_feat.astype(spade_dtype))
+        x_spade = spade_cls(
             channels[res_256], channels[res_256], spade_channels=128,
-            conv_clamp=self.conv_clamp, name="spade_b256_2")(x_spade, spade_feat)
+            conv_clamp=self.conv_clamp, name="spade_b256_2")(
+                x_spade, spade_feat.astype(spade_dtype))
 
         res_512 = resolutions[-1]
-        texture = SynthesisBlockTexture(
+        texture = texture_cls(
             in_channels=channels[res_512 // 2],
             out_channels=channels[res_512],
             resolution=res_512,
             is_last=True,
             is_style=False,
+            use_bf16=(res_512 >= bf16_res),
             name="texture_b512",
             **block_common,
         )
         last_ws = ws[:, self.num_ws - 3 : self.num_ws]
         _, finetune_img, _ = texture(
             x_spade, img_256, last_ws, pose_feat, cat_feat, parsing_index,
-            noise_mode=noise_mode)
+            noise_mode)
 
         return img, finetune_img, pred_parsing
 
@@ -206,6 +234,8 @@ class Generator(nn.Module):
     conv_clamp: Optional[float] = 256
     use_noise: bool = True
     mapping_layers: int = 1
+    num_bf16_res: int = 0
+    remat: bool = False
 
     def setup(self):
         self.synthesis = SynthesisNetwork(
@@ -216,6 +246,8 @@ class Generator(nn.Module):
             channel_max=self.channel_max,
             conv_clamp=self.conv_clamp,
             use_noise=self.use_noise,
+            num_bf16_res=self.num_bf16_res,
+            remat=self.remat,
         )
         self.num_ws = self.synthesis.num_ws
         self.mapping = MappingNetwork(
@@ -231,10 +263,16 @@ class Generator(nn.Module):
         # (networks.py:2350); derived here so smaller test configs work.
         ch8 = min(self.channel_base // 8, self.channel_max)
         n_down = int(math.log2(self.img_resolution)) - 3
-        self.const_encoding = ConstEncoderNetwork(
+        # The 512px encoder activations (~270MB each in fp32) dominate the
+        # training-step live set; remat them with the synthesis blocks.
+        const_cls = nn.remat(ConstEncoderNetwork) if self.remat \
+            else ConstEncoderNetwork
+        style_cls = nn.remat(StyleEncoderNetwork) if self.remat \
+            else StyleEncoderNetwork
+        self.const_encoding = const_cls(
             input_nc=3 + 2, output_nc=ch8, ngf=max(ch8 // 8, 4),
             n_downsampling=n_down)
-        self.style_encoding = StyleEncoderNetwork(
+        self.style_encoding = style_cls(
             input_nc=10 * 3 + 5 * 3, output_nc=512, ngf=64)
 
     def __call__(self, z, c, retain, pose, denorm_upper_input,

@@ -30,11 +30,13 @@ def instance_norm_2d(x, eps=1e-5):
     """Per-sample, per-channel normalization over H,W of an NHWC tensor.
 
     Matches torch nn.InstanceNorm2d(affine=False): biased variance, no
-    running stats.
+    running stats. Moments are always accumulated in fp32 (bf16 variance
+    underflows); output keeps the input dtype.
     """
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class FullyConnectedLayer(nn.Module):

@@ -250,7 +250,13 @@ class SpadeResBlock(nn.Module):
 
 
 class _SynthesisBlockBase(nn.Module):
-    """Shared structure of the style (v6) and texture (v4) blocks."""
+    """Shared structure of the style (v6) and texture (v4) blocks.
+
+    use_bf16 runs the block's convs in bfloat16 compute with fp32 params
+    (reference fp16-per-resolution policy, networks.py:2013-2016 block dtype
+    selection; conv_clamp bounds activations either way). torgb outputs are
+    always accumulated in fp32 (networks.py ToRGB float32 casts).
+    """
 
     in_channels: int
     out_channels: int
@@ -262,6 +268,11 @@ class _SynthesisBlockBase(nn.Module):
     resample_filter: Sequence[int] = (1, 3, 3, 1)
     conv_clamp: Optional[float] = None
     use_noise: bool = True
+    use_bf16: bool = False
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.use_bf16 else jnp.float32
 
     def _main(self, x, ws, pose_feature, cat_feat, noise_mode):
         """conv0/conv1 (+cat_feat merge); returns features pre-SPADE."""
@@ -274,7 +285,7 @@ class _SynthesisBlockBase(nn.Module):
         )
         w_idx = 0
         if self.in_channels == 0:
-            x = pose_feature
+            x = pose_feature.astype(self._dtype)
         if self.in_channels != 0:
             conv0 = SynthesisLayer(
                 self.in_channels, self.out_channels, up=2, name="conv0",
@@ -309,6 +320,8 @@ class _SynthesisBlockBase(nn.Module):
         )
         y, pred_parsing = torgb(x, ws[:, w_idx])
         y = y.astype(jnp.float32)
+        if pred_parsing is not None:
+            pred_parsing = pred_parsing.astype(jnp.float32)
         img_out = img_out + y if img_out is not None else y
         return img_out, pred_parsing
 
@@ -319,7 +332,7 @@ class SynthesisBlockStyle(_SynthesisBlockBase):
 
     @nn.compact
     def __call__(self, x, img, ws, pose_feature, cat_feat, noise_mode="random"):
-        x = x.astype(jnp.float32) if x is not None else x
+        x = x.astype(self._dtype) if x is not None else x
         x, w_idx = self._main(x, ws, pose_feature, cat_feat, noise_mode)
         img, pred_parsing = self._torgb(x, img, ws, w_idx)
         return x, img, pred_parsing
@@ -332,11 +345,11 @@ class SynthesisBlockTexture(_SynthesisBlockBase):
     @nn.compact
     def __call__(self, x, img, ws, pose_feature, cat_feat, parsing,
                  noise_mode="random"):
-        x = x.astype(jnp.float32)
+        x = x.astype(self._dtype)
         x, w_idx = self._main(x, ws, pose_feature, cat_feat, noise_mode)
         spade_b512 = SpadeResBlock(
             self.out_channels, self.out_channels, spade_channels=1,
             conv_clamp=self.conv_clamp, name="spade_b512")
-        x = spade_b512(x, parsing)
+        x = spade_b512(x, parsing.astype(x.dtype))
         img, pred_parsing = self._torgb(x, img, ws, w_idx)
         return x, img, pred_parsing

@@ -106,9 +106,25 @@ class TrainConfig:
     augment_p_init: float = 0.0
     use_ada: bool = True
 
-    # precision: 'fp32' or 'bf16' compute for D (G synthesis stays fp32 per
-    # reference networks.py:2294)
-    d_num_bf16_res: int = 0
+    # Mixed precision. The reference ships fp16 for the D's top-3
+    # resolutions with conv_clamp=256 (train.py:196-197) — bf16 here, same
+    # default. The reference forces G synthesis fp32 (networks.py:2294);
+    # g_num_bf16_res>0 additionally runs the top-N G blocks (style +
+    # texture + SPADE) in bf16 compute with fp32 params — the main 512px
+    # training-throughput lever on TPU (off by default for reference
+    # numerics parity).
+    d_num_bf16_res: int = 3
+    g_num_bf16_res: int = 0
+    # Donate the input state to the step program (halves peak param/opt
+    # memory; the caller must not reuse the passed-in state object — the
+    # training loop rebinds it every step). Smoke/test configs disable it
+    # so tests can replay different step modes from one initial state.
+    donate: bool = True
+    # Rematerialize each synthesis block in the backward pass
+    # (jax.checkpoint per block): cuts peak activation memory ~proportionally
+    # to block count for ~1/3 more forward FLOPs. Required to fit the
+    # monolithic 512px step in one v5e chip's 16G HBM.
+    remat: bool = False
 
     @property
     def batch_per_device(self):
@@ -141,6 +157,8 @@ def smoke_config(n_devices=8, **overrides) -> TrainConfig:
         mbstd_group_size=2,
         vgg_weight=0.0,
         total_kimg=1,
+        d_num_bf16_res=0,   # fp32 smoke numerics on CPU meshes
+        donate=False,       # CPU tests replay multiple modes from one state
     )
     defaults.update(overrides)
     return TrainConfig(**defaults)

@@ -53,6 +53,7 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None):
     sanitize = (lambda t: jax.tree.map(
         lambda x: jnp.nan_to_num(x, nan=0.0, posinf=1e5, neginf=-1e5), t)
     ) if cfg.sanitize_grads else (lambda t: t)
+    _vgg_loss = jax.checkpoint(vgg_loss) if cfg.remat else vgg_loss
 
     def _g_outputs(g_params, g_buffers, batch, noise_key):
         """G forward returning (img, finetune, parsing, style_code),
@@ -132,8 +133,8 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None):
             ) * cfg.mask_weight
         if cfg.vgg_weight > 0 and vgg_params is not None:
             loss = loss + (
-                vgg_loss(vgg_params, img, batch["real_img"])
-                + vgg_loss(vgg_params, ft, batch["real_img"])
+                _vgg_loss(vgg_params, img, batch["real_img"])
+                + _vgg_loss(vgg_params, ft, batch["real_img"])
             ) / 2 * cfg.vgg_weight
         metrics = dict(g_loss=g_nonsat_loss(gen_logits),
                        g_loss_finetune=g_nonsat_loss(ft_logits),
@@ -147,7 +148,9 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None):
                 outputs, d_params, dp_params, ada_p, batch, keys)
         return cots, metrics
 
-    @jax.jit
+    donate = (0,) if cfg.donate else ()
+
+    @functools.partial(jax.jit, donate_argnums=donate)
     def g_bwd_update(state: TrainState, batch, noise_key, cotangents):
         def chunk_vjp_keyed(g_params, batch_c, cots_c, key_c):
             def fwd_only(p):
@@ -218,7 +221,8 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None):
                        r1_penalty=r1)
         return loss, metrics
 
-    @functools.partial(jax.jit, static_argnames=("do_r1",))
+    @functools.partial(jax.jit, static_argnames=("do_r1",),
+                       donate_argnums=donate)
     def d_phase(state: TrainState, img, ft, gen_c, batch, keys, do_r1=False):
         (loss, metrics), grads = jax.value_and_grad(
             _d_loss, has_aux=True)(state.d_params, img, ft, gen_c,
@@ -255,8 +259,10 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None):
             loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
         return loss, dict(dp_loss=loss_main, dp_r1_penalty=r1)
 
-    @functools.partial(jax.jit, static_argnames=("do_r1",))
-    def dp_phase(state: TrainState, parsing, gen_c, batch, do_r1=False):
+    @functools.partial(jax.jit, static_argnames=("do_r1", "fold_post"),
+                       donate_argnums=donate)
+    def dp_phase(state: TrainState, parsing, gen_c, batch, real_signs=None,
+                 do_r1=False, fold_post=False):
         (loss, metrics), grads = jax.value_and_grad(
             _dp_loss, has_aux=True)(state.dp_params, parsing, gen_c, batch,
                                     do_r1)
@@ -264,10 +270,15 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None):
         updates, dp_opt = dp_opt_tx.update(grads, state.dp_opt,
                                            state.dp_params)
         params = optax.apply_updates(state.dp_params, updates)
-        return state.replace(dp_params=params, dp_opt=dp_opt), metrics
+        state = state.replace(dp_params=params, dp_opt=dp_opt)
+        if fold_post:
+            # EMA + ADA bookkeeping folded into the last DP program — one
+            # fewer dispatch per step (the tunnel dispatch is the decomposed
+            # mode's overhead).
+            state = _post(state, real_signs)
+        return state, metrics
 
-    @jax.jit
-    def post_step(state: TrainState, real_signs):
+    def _post(state: TrainState, real_signs):
         ema_nimg = cfg.ema_kimg * 1000
         if cfg.ema_rampup is not None:
             ema_nimg = jnp.minimum(
@@ -320,9 +331,10 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None):
                 gen_c_i = jax.lax.stop_gradient(gen_c_i)
             else:
                 parsing_i, gen_c_i = parsing, gen_c
-            state, dp_metrics = dp_phase(state, parsing_i, gen_c_i, batch,
-                                         do_r1=do_r1_dp)
-        state = post_step(state, d_metrics["real_signs"])
+            state, dp_metrics = dp_phase(
+                state, parsing_i, gen_c_i, batch,
+                real_signs=d_metrics["real_signs"], do_r1=do_r1_dp,
+                fold_post=(i_dp == n_dp - 1))
         return state, {**g_metrics, **d_metrics, **dp_metrics,
                        "ada_p": state.ada_p}
 

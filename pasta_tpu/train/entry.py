@@ -21,13 +21,29 @@ def make_mesh(n_devices: int) -> Mesh:
 
 
 def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch over the data axis.
+
+    Single-process: the full batch is laid out across local devices.
+    Multi-process (jax.distributed): each process passes its LOCAL slice of
+    the global batch (rank-strided loader) and the global array is assembled
+    from process-local shards — the SPMD replacement for the reference's
+    per-rank DataLoader + DDP (training_loop_fullbody.py:392-394).
+    """
     sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            for k, v in batch.items()}
     return {k: jax.device_put(jnp.asarray(v), sharding)
             for k, v in batch.items()}
 
 
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda v: jax.make_array_from_process_local_data(
+                sharding, np.asarray(v)), tree)
     return jax.device_put(tree, sharding)
 
 

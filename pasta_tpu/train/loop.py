@@ -39,24 +39,30 @@ from .stats import Collector, JsonlLogger, Tee
 
 
 class ParallelLoader:
-    """Background-thread batch producer over a process pool.
+    """Background-thread batch producer over a thread pool.
 
-    The reference relies on torch DataLoader worker processes
-    (training_loop_fullbody.py:392-394); this is the torch-free equivalent.
+    The reference relies on torch DataLoader worker processes feeding an
+    InfiniteSampler (training_loop_fullbody.py:392-394, misc.py:115-146);
+    this is the torch-free equivalent: a rank-strided windowed-shuffle
+    index stream (data/sampler.py) drained by a thread pool. Under
+    multi-host training, pass rank=jax.process_index(),
+    num_replicas=jax.process_count() for disjoint per-process streams.
     """
 
-    def __init__(self, dataset, batch_size, num_workers=8, seed=0):
+    def __init__(self, dataset, batch_size, num_workers=8, seed=0,
+                 rank=0, num_replicas=1, shuffle=True, window_size=0.5):
+        from ..data.sampler import infinite_sampler
+
         self.dataset = dataset
         self.batch_size = batch_size
-        self.rng = np.random.RandomState(seed)
+        self.sampler = infinite_sampler(
+            len(dataset), rank=rank, num_replicas=num_replicas,
+            shuffle=shuffle, seed=seed, window_size=window_size)
         self.pool = concurrent.futures.ThreadPoolExecutor(num_workers)
         self._pending = []
 
-    def _sample_indices(self):
-        return self.rng.randint(0, len(self.dataset), self.batch_size)
-
     def _submit(self):
-        idxs = self._sample_indices()
+        idxs = [next(self.sampler) for _ in range(self.batch_size)]
         return [self.pool.submit(self.dataset.__getitem__, int(i))
                 for i in idxs]
 
@@ -209,6 +215,9 @@ def _training_loop_impl(
 ):
     mesh = make_mesh(cfg.data_axis_size)
     state = init_state(cfg, jax.random.PRNGKey(seed))
+    from ..summary import summarize_state
+
+    summarize_state(state)  # startup accounting (misc.py:201-269 analogue)
     if resume_path is not None:
         state = load_checkpoint_variables(
             resume_path, jax.tree.map(np.asarray, state))
@@ -229,7 +238,15 @@ def _training_loop_impl(
     else:
         step_builder = make_train_step
     train_step = step_builder(cfg, vgg_params=vgg_params)
-    loader = iter(ParallelLoader(dataset, cfg.batch_size, num_workers, seed))
+    # Multi-process (jax.distributed): each process loads its rank-strided
+    # 1/num_processes of the global batch; shard_batch assembles the global
+    # array from the local shards. Process 0 owns all file output.
+    n_proc, pid = jax.process_count(), jax.process_index()
+    assert cfg.batch_size % max(n_proc, 1) == 0
+    loader = iter(ParallelLoader(
+        dataset, cfg.batch_size // n_proc, num_workers, seed,
+        rank=pid, num_replicas=n_proc))
+    is_chief = pid == 0
     logger = JsonlLogger(run_dir)
     collector = Collector()
     tb_writer = _make_tb_writer(run_dir)
@@ -298,8 +315,13 @@ def _training_loop_impl(
             t_tick = time.time()
             images_at_tick = cur_nimg
 
-            if tick_idx % snapshot_ticks == 0 or step == total_steps - 1:
-                _save_snapshot(cfg, state, batch, run_dir, step + 1)
+            if (tick_idx % snapshot_ticks == 0 or step == total_steps - 1) \
+                    and is_chief:
+                # Multi-process: the replicated state checkpoints fine from
+                # process 0; the sample grid is skipped (its vis batch is
+                # sharded across processes).
+                _save_snapshot(cfg, state, batch if n_proc == 1 else None,
+                               run_dir, step + 1)
                 if tryon_grid_k > 0:
                     save_cross_pair_grid(
                         cfg, state, dataset.root, run_dir, step + 1,
@@ -347,9 +369,11 @@ def save_cross_pair_grid(cfg, state, dataset_root, run_dir, step, k=4,
         channel_base=cfg.channel_base, channel_max=cfg.channel_max,
         conv_clamp=cfg.conv_clamp, use_noise=cfg.use_noise,
         mapping_layers=cfg.mapping_layers)
+    from ..data.roots import as_root
+
+    dataset_root = as_root(dataset_root)
     if image_names is None:
-        image_names = sorted(
-            os.listdir(os.path.join(dataset_root, "image")))[:k]
+        image_names = dataset_root.list("image")[:k]
     people = [pp.load_person(dataset_root, n, with_garment_parsing=True)
               for n in image_names]
     if mode == "thirds":
@@ -387,6 +411,11 @@ def _save_snapshot(cfg, state, batch, run_dir, step):
     """EMA-generator sample grid + full-state checkpoint."""
     from .state import make_models
 
+    if batch is None:  # multi-process: checkpoint only
+        ckpt_dir = os.path.join(run_dir, f"ckpt-{step:06d}")
+        save_checkpoint_variables(ckpt_dir, jax.device_get(state))
+        print(f"snapshot: {ckpt_dir}", flush=True)
+        return
     g, _, _ = make_models(cfg)
     n_vis = min(8, batch["real_img"].shape[0])
     sub = {k: v[:n_vis] for k, v in batch.items()}

@@ -37,7 +37,8 @@ def make_models(cfg: TrainConfig):
         img_resolution=cfg.resolution, img_channels=3,
         channel_base=cfg.channel_base, channel_max=cfg.channel_max,
         conv_clamp=cfg.conv_clamp, use_noise=cfg.use_noise,
-        mapping_layers=cfg.mapping_layers)
+        mapping_layers=cfg.mapping_layers,
+        num_bf16_res=cfg.g_num_bf16_res, remat=cfg.remat)
     # image D: 3 (image) + 3 (pose rgb); parsing D: 7 + 3
     # (training_loop_fullbody.py:405-410)
     d = Discriminator(

@@ -81,6 +81,22 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
     """
     g, d, dp = make_models(cfg)
     _opt_cache = {}
+    # With cfg.remat, VGG activations are also rematerialized in the
+    # backward (the 512px feature pyramids are ~300MB/image otherwise), and
+    # so are the discriminator forwards (the G phase backprops through D on
+    # three branches — img/finetune/parsing — whose activations would all
+    # be live at once).
+    _vgg_loss = jax.checkpoint(vgg_loss) if cfg.remat else vgg_loss
+
+    def _d_apply(params, x, c):
+        return d.apply({"params": params}, x, c)
+
+    def _dp_apply(params, x, c):
+        return dp.apply({"params": params}, x, c)
+
+    if cfg.remat:
+        _d_apply = jax.checkpoint(_d_apply)
+        _dp_apply = jax.checkpoint(_dp_apply)
 
     def _get_opts(d_params):
         if "opts" not in _opt_cache:
@@ -94,12 +110,12 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
 
         d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg)
         d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg)
-        gen_logits = d.apply({"params": state.d_params}, d_in, gen_c)
-        ft_logits = d.apply({"params": state.d_params}, d_in_ft, gen_c)
+        gen_logits = _d_apply(state.d_params, d_in, gen_c)
+        ft_logits = _d_apply(state.d_params, d_in_ft, gen_c)
 
         parsing_soft = jax.nn.softmax(pred_parsing, axis=-1)
         dp_in = jnp.concatenate([parsing_soft, batch["pose"][..., 0:3]], axis=-1)
-        parsing_logits = dp.apply({"params": state.dp_params}, dp_in, gen_c)
+        parsing_logits = _dp_apply(state.dp_params, dp_in, gen_c)
 
         loss_gmain = g_nonsat_loss(gen_logits)
         loss_gmain_ft = g_nonsat_loss(ft_logits)
@@ -119,8 +135,9 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
 
         loss_vgg = loss_vgg_ft = 0.0
         if cfg.vgg_weight > 0 and vgg_params is not None:
-            loss_vgg = vgg_loss(vgg_params, img, batch["real_img"]) * cfg.vgg_weight
-            loss_vgg_ft = vgg_loss(
+            loss_vgg = _vgg_loss(
+                vgg_params, img, batch["real_img"]) * cfg.vgg_weight
+            loss_vgg_ft = _vgg_loss(
                 vgg_params, finetune, batch["real_img"]) * cfg.vgg_weight
 
         loss_ctx = 0.0
@@ -154,15 +171,16 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
 
         d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg)
         d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg)
-        gen_logits = d.apply({"params": d_params}, d_in, gen_c)
-        ft_logits = d.apply({"params": d_params}, d_in_ft, gen_c)
+        gen_logits = _d_apply(d_params, d_in, gen_c)
+        ft_logits = _d_apply(d_params, d_in_ft, gen_c)
         loss_fake = (d_logistic_loss(fake_logits=gen_logits)
                      + d_logistic_loss(fake_logits=ft_logits)) / 2
 
         def real_logits_of(real_img):
-            real_in = _d_in(real_img, batch["pose"], state.ada_p,
+            n_x = real_img.shape[0]
+            real_in = _d_in(real_img, batch["pose"][:n_x], state.ada_p,
                             keys["aug3"], cfg)
-            return d.apply({"params": d_params}, real_in, gen_c)
+            return _d_apply(d_params, real_in, gen_c[:n_x])
 
         real_logits = real_logits_of(batch["real_img"])
         loss_real = d_logistic_loss(real_logits=real_logits)
@@ -170,8 +188,12 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
         loss = loss_fake + loss_real
         r1 = 0.0
         if do_r1:
+            # r1_batch_shrink: unbiased penalty estimate on a batch prefix
+            # (memory headroom; same estimator as decomposed mode).
+            n_r1 = batch["real_img"].shape[0] // cfg.r1_batch_shrink
             grads = jax.grad(
-                lambda x: jnp.sum(real_logits_of(x)))(batch["real_img"])
+                lambda x: jnp.sum(real_logits_of(x)))(
+                    batch["real_img"][:n_r1])
             r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
             # lazy reg: applied every interval steps with gain=interval
             loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
@@ -190,21 +212,24 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
             jax.nn.softmax(pred_parsing, axis=-1))
         pose_rgb = batch["pose"][..., 0:3]
         fake_in = jnp.concatenate([parsing_soft, pose_rgb], axis=-1)
-        fake_logits = dp.apply({"params": dp_params}, fake_in, gen_c)
+        fake_logits = _dp_apply(dp_params, fake_in, gen_c)
         loss_fake = d_logistic_loss(fake_logits=fake_logits)
 
         gt_onehot = _gt_parsing_onehot(batch["gt_parsing"])
 
         def real_logits_of(gt_oh):
-            real_in = jnp.concatenate([gt_oh, pose_rgb], axis=-1)
-            return dp.apply({"params": dp_params}, real_in, gen_c)
+            n_x = gt_oh.shape[0]
+            real_in = jnp.concatenate([gt_oh, pose_rgb[:n_x]], axis=-1)
+            return _dp_apply(dp_params, real_in, gen_c[:n_x])
 
         real_logits = real_logits_of(gt_onehot)
         loss_real = d_logistic_loss(real_logits=real_logits)
         loss = loss_fake + loss_real
         r1 = 0.0
         if do_r1:
-            grads = jax.grad(lambda x: jnp.sum(real_logits_of(x)))(gt_onehot)
+            n_r1 = gt_onehot.shape[0] // cfg.r1_batch_shrink
+            grads = jax.grad(
+                lambda x: jnp.sum(real_logits_of(x)))(gt_onehot[:n_r1])
             r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
             loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
         metrics = dict(dp_loss=loss_fake + loss_real, dp_r1_penalty=r1)
@@ -302,7 +327,8 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
         return (lsum / a, aux), jax.tree.map(lambda g: g / a, gsum)
 
     @functools.partial(
-        jax.jit, static_argnames=("do_r1_d", "do_r1_dp", "do_pl"))
+        jax.jit, static_argnames=("do_r1_d", "do_r1_dp", "do_pl"),
+        donate_argnums=(0,) if cfg.donate else ())
     def train_step(state: TrainState, batch, key, do_r1_d: bool = False,
                    do_r1_dp: bool = False, do_pl: bool = False):
         g_opt_tx, d_opt_tx, dp_opt_tx = _get_opts(state.d_params)
@@ -426,19 +452,21 @@ def make_phase_steps(cfg: TrainConfig, vgg_params=None):
 
     inner = _build_phase_fns(cfg, vgg_params)
 
-    @_ft.partial(jax.jit, donate_argnums=(0,))
+    donate = (0,) if cfg.donate else ()
+
+    @_ft.partial(jax.jit, donate_argnums=donate)
     def g_step(state, batch, key):
         return inner["g"](state, batch, key)
 
-    @_ft.partial(jax.jit, static_argnames=("do_r1",), donate_argnums=(0,))
+    @_ft.partial(jax.jit, static_argnames=("do_r1",), donate_argnums=donate)
     def d_step(state, batch, key, do_r1=False):
         return inner["d"](state, batch, key, do_r1)
 
-    @_ft.partial(jax.jit, static_argnames=("do_r1",), donate_argnums=(0,))
+    @_ft.partial(jax.jit, static_argnames=("do_r1",), donate_argnums=donate)
     def dp_step(state, batch, key, do_r1=False):
         return inner["dp"](state, batch, key, do_r1)
 
-    @_ft.partial(jax.jit, donate_argnums=(0,))
+    @_ft.partial(jax.jit, donate_argnums=donate)
     def post_step(state, real_signs):
         return inner["post"](state, real_signs)
 
@@ -498,9 +526,10 @@ def _build_phase_fns(cfg: TrainConfig, vgg_params=None):
                 pred_parsing, batch["gt_parsing"][..., 0].astype(jnp.int32)
             ) * cfg.mask_weight
         if cfg.vgg_weight > 0 and vgg_params is not None:
+            _vgg = jax.checkpoint(vgg_loss) if cfg.remat else vgg_loss
             loss = loss + (
-                vgg_loss(vgg_params, img, batch["real_img"])
-                + vgg_loss(vgg_params, finetune, batch["real_img"])
+                _vgg(vgg_params, img, batch["real_img"])
+                + _vgg(vgg_params, finetune, batch["real_img"])
             ) / 2 * cfg.vgg_weight
         metrics = dict(g_loss=g_nonsat_loss(gen_logits),
                        fake_scores=jnp.mean(gen_logits))

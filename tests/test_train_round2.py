@@ -117,3 +117,82 @@ class TestTrainingLoopRound2:
             assert "tick step" in f.read()
         grids = [f for f in os.listdir(run_dir) if f.startswith("tryon_grid")]
         assert grids, os.listdir(run_dir)
+
+
+class TestPrecisionAndRemat:
+    """Round-2 throughput levers: per-block remat and bf16 policies."""
+
+    @pytest.mark.slow
+    def test_remat_matches_baseline_exactly(self):
+        cfg0 = _tiny_cfg()
+        cfg1 = _tiny_cfg(remat=True)
+        state0 = init_state(cfg0, jax.random.PRNGKey(0))
+        state1 = init_state(cfg1, jax.random.PRNGKey(0))
+        # remat is structure-preserving: identical param trees
+        for a, b in zip(jax.tree.leaves(state0.g_params),
+                        jax.tree.leaves(state1.g_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        batch = {k: jnp.asarray(v) for k, v in
+                 example_batch(cfg0, np.random.RandomState(0)).items()}
+        key = jax.random.PRNGKey(1)
+        _, m0 = make_train_step(cfg0)(state0, batch, key,
+                                      do_r1_d=True, do_r1_dp=True)
+        _, m1 = make_train_step(cfg1)(state1, batch, key,
+                                      do_r1_d=True, do_r1_dp=True)
+        for k in m0:
+            np.testing.assert_allclose(float(m0[k]), float(m1[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
+
+    @pytest.mark.slow
+    def test_bf16_policies_run_finite(self):
+        cfg = _tiny_cfg(remat=True, g_num_bf16_res=2, d_num_bf16_res=2)
+        state = init_state(cfg, jax.random.PRNGKey(0))
+        batch = {k: jnp.asarray(v) for k, v in
+                 example_batch(cfg, np.random.RandomState(0)).items()}
+        s1, m = make_train_step(cfg)(state, batch, jax.random.PRNGKey(1),
+                                     do_r1_d=True, do_r1_dp=True)
+        vals = {k: float(v) for k, v in m.items()}
+        assert all(np.isfinite(v) for v in vals.values()), vals
+        # params stay fp32 (bf16 is compute-only)
+        for leaf in jax.tree.leaves(s1.g_params):
+            assert leaf.dtype == jnp.float32
+
+    def test_bf16_generator_forward_close_to_fp32(self):
+        """bf16 G forward stays within bf16 tolerance of the fp32 output."""
+        from pasta_tpu.models import Generator
+
+        kw = dict(z_dim=0, c_dim=512, w_dim=512, img_resolution=64,
+                  img_channels=3, channel_base=2048, channel_max=128,
+                  conv_clamp=256, use_noise=False, mapping_layers=1)
+        g32 = Generator(**kw)
+        gbf = Generator(num_bf16_res=2, **kw)
+        rng = np.random.RandomState(0)
+        n, res = 1, 64
+        inputs = dict(
+            z=jnp.zeros((n, 0)),
+            c=jnp.asarray(rng.randn(n, res // 4, res // 4, 45), jnp.float32),
+            retain=jnp.asarray(rng.randn(n, res, res, 6), jnp.float32),
+            pose=jnp.asarray(rng.randn(n, res, res, 5), jnp.float32),
+            denorm_upper_input=jnp.asarray(
+                rng.randn(n, res, res, 3), jnp.float32),
+            denorm_lower_input=jnp.asarray(
+                rng.randn(n, res, res, 3), jnp.float32),
+            denorm_upper_mask=jnp.asarray(
+                rng.rand(n, res, res, 1) > 0.5, jnp.float32),
+            denorm_lower_mask=jnp.asarray(
+                rng.rand(n, res, res, 1) > 0.5, jnp.float32),
+            # Pin the parsing index: the argmax-driven SPADE mask path is
+            # discrete, so a single bf16-rounded class flip would cascade —
+            # not a precision signal.
+            gt_parsing=jnp.asarray(
+                rng.randint(0, 7, (n, res, res, 1)), jnp.float32),
+        )
+        variables = g32.init({"params": jax.random.PRNGKey(0),
+                              "noise": jax.random.PRNGKey(1)}, **inputs)
+        img32, ft32, pp32 = g32.apply(variables, noise_mode="none", **inputs)
+        imgbf, ftbf, ppbf = gbf.apply(variables, noise_mode="none", **inputs)
+        assert ftbf.dtype == jnp.float32   # outputs are always fp32
+        a, b = np.asarray(ft32), np.asarray(ftbf)
+        scale = np.abs(a).max() + 1e-6
+        mean_rel = np.abs(b - a).mean() / scale
+        assert mean_rel < 0.02, mean_rel   # bf16 ~3 decimal digits, averaged
