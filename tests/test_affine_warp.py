@@ -1,0 +1,142 @@
+"""Tests for ops/affine_warp.py — the TPU-native two-pass affine warp.
+
+The pointwise-gather path is the oracle (itself parity-tested against torch
+grid_sample via tests/test_augment.py). The two-pass path must be:
+  * bit-exact on integer translations, flips, rot90 (frac parts are zero);
+  * near-exact on fractional translations and pure scales;
+  * close (PSNR) on rotations, where it composes two linear interpolations;
+  * an exact adjoint (vjp check), since the backward pass is a custom kernel.
+Runs on CPU via the plain-jnp shift backend; the Pallas backend is covered
+by scripts/bench_gather.py + the TPU train-step benches.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pasta_tpu.ops.affine_warp import (affine_warp_twopass,
+                                       bilinear_warp_gather)
+
+H = 64
+
+
+def mat_of(theta=0.0, s=1.0, tx=0.0, ty=0.0, aniso=1.0):
+    c0 = (H - 1) / 2
+    a = np.array([[np.cos(theta) * s * aniso, -np.sin(theta) * s, 0],
+                  [np.sin(theta) * s * aniso, np.cos(theta) * s, 0],
+                  [0, 0, 1.0]])
+    t1 = np.array([[1, 0, -c0], [0, 1, -c0], [0, 0, 1.0]])
+    t2 = np.array([[1, 0, c0 + tx], [0, 1, c0 + ty], [0, 0, 1.0]])
+    return (t2 @ a @ t1).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def smooth_img():
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.RandomState(0)
+    x = np.stack([gaussian_filter(rng.rand(H, H, 3), (2, 2, 0))
+                  for _ in range(2)]).astype(np.float32)
+    return jnp.asarray(x)
+
+
+@pytest.fixture(scope="module")
+def noise_img():
+    rng = np.random.RandomState(1)
+    return jnp.asarray(rng.rand(2, H, H, 3).astype(np.float32))
+
+
+def both(img, mats):
+    m = jnp.asarray(np.stack(mats))
+    ref = bilinear_warp_gather(img, m)
+    got = affine_warp_twopass(img, m, use_pallas=False)
+    return np.asarray(ref), np.asarray(got)
+
+
+class TestExactCases:
+    def test_identity(self, noise_img):
+        ref, got = both(noise_img, [mat_of(), mat_of()])
+        np.testing.assert_array_equal(ref, got)
+
+    def test_integer_translate(self, noise_img):
+        ref, got = both(noise_img, [mat_of(tx=5, ty=-7), mat_of(tx=-30)])
+        np.testing.assert_allclose(ref, got, atol=1e-6)
+
+    def test_rot90_and_flip(self, noise_img):
+        # rot90 k=1..3 and xflip land on integer lattices
+        ref, got = both(noise_img, [mat_of(theta=np.pi / 2),
+                                    mat_of(theta=np.pi)])
+        np.testing.assert_allclose(ref, got, atol=1e-6)
+        flip = mat_of()
+        flip[0, 0] = -1
+        flip[0, 2] = H - 1
+        ref, got = both(noise_img, [flip, mat_of(theta=-np.pi / 2)])
+        np.testing.assert_allclose(ref, got, atol=1e-6)
+
+    def test_fractional_translate(self, noise_img):
+        ref, got = both(noise_img, [mat_of(tx=0.37, ty=-0.61),
+                                    mat_of(tx=2.5, ty=3.5)])
+        np.testing.assert_allclose(ref, got, atol=1e-5)
+
+    def test_pure_scale(self, smooth_img):
+        ref, got = both(smooth_img, [mat_of(s=1.3), mat_of(s=0.8)])
+        np.testing.assert_allclose(ref, got, atol=1e-5)
+
+
+class TestRotationQuality:
+    @pytest.mark.parametrize("theta,s,aniso", [
+        (0.3, 1.0, 1.0), (-1.2, 0.8, 0.8), (0.5, 1.25, 1.3), (2.5, 1.0, 1.0)])
+    def test_psnr(self, smooth_img, theta, s, aniso):
+        ref, got = both(smooth_img, [mat_of(theta, s, 1.2, -0.7, aniso)] * 2)
+        mse = float(np.mean((ref - got) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-16))
+        assert psnr > 30, f"PSNR {psnr:.1f} dB too low"
+
+    def test_mirror_reach(self, smooth_img):
+        # huge translation forces sampling deep into mirrored territory
+        ref, got = both(smooth_img, [mat_of(tx=50, ty=-80),
+                                     mat_of(0.4, 1.0, 70, 10)])
+        # integer part exact for the pure translation
+        np.testing.assert_allclose(ref[0], got[0], atol=1e-5)
+        mse = float(np.mean((ref[1] - got[1]) ** 2))
+        assert 10 * np.log10(1.0 / max(mse, 1e-16)) > 28
+
+
+class TestAdjoint:
+    def test_vjp_is_exact_adjoint(self, noise_img):
+        mats = jnp.asarray(np.stack(
+            [mat_of(0.5, 1.25, 1.2, -0.7, 1.3), mat_of(-0.7, 0.8)]))
+        f = lambda im: affine_warp_twopass(im, mats, use_pallas=False)
+        out, vjp = jax.vjp(f, noise_img)
+        rng = np.random.RandomState(2)
+        y = jnp.asarray(rng.rand(*out.shape).astype(np.float32))
+        lhs = float(jnp.vdot(out, y))
+        rhs = float(jnp.vdot(noise_img, vjp(y)[0]))
+        assert abs(lhs - rhs) < 1e-2 * abs(lhs) + 1e-4
+
+    def test_grad_matches_gather_on_integer_case(self, noise_img):
+        mats = jnp.asarray(np.stack([mat_of(tx=5, ty=-7),
+                                     mat_of(theta=np.pi / 2)]))
+        g1 = jax.grad(lambda im: jnp.sum(
+            jnp.sin(3 * bilinear_warp_gather(im, mats))))(noise_img)
+        g2 = jax.grad(lambda im: jnp.sum(
+            jnp.sin(3 * affine_warp_twopass(im, mats,
+                                            use_pallas=False))))(noise_img)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+class TestAugmentIntegration:
+    def test_twopass_impl_close_to_gather(self):
+        from pasta_tpu.train.augment import AugmentConfig, augment_pipe
+        rng = np.random.RandomState(3)
+        from scipy.ndimage import gaussian_filter
+        x = np.stack([gaussian_filter(rng.rand(H, H, 3), (2, 2, 0))
+                      for _ in range(2)]).astype(np.float32) * 2 - 1
+        x = jnp.asarray(x)
+        key = jax.random.PRNGKey(0)
+        cfg = AugmentConfig.bgc()
+        a = augment_pipe(x, 0.7, key, cfg, impl="gather")
+        b = augment_pipe(x, 0.7, key, cfg, impl="twopass")
+        mse = float(jnp.mean((a - b) ** 2))
+        dyn = float(jnp.mean(a ** 2))
+        assert mse < 0.02 * dyn, (mse, dyn)
