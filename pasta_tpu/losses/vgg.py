@@ -86,12 +86,22 @@ def import_vgg19_torch_state(state: Dict[str, np.ndarray]):
     return {"params": params}
 
 
-def vgg_loss(vgg_params, x, y, weights=FEATURE_WEIGHTS):
-    """Weighted multi-slice L1 feature distance; y is the (detached) target."""
+def vgg_loss(vgg_params, x, y, weights=FEATURE_WEIGHTS, dtype=None):
+    """Weighted multi-slice L1 feature distance; y is the (detached) target.
+
+    dtype: compute dtype for the feature extractor (e.g. jnp.bfloat16 on
+    TPU — the perceptual distance is insensitive to feature precision and
+    the VGG forward/backward is a large share of Gmain's FLOPs). The
+    per-slice reductions always accumulate in float32.
+    """
     model = VGG19Features()
+    if dtype is not None:
+        x = x.astype(dtype)
+        y = y.astype(dtype)
     fx = model.apply(vgg_params, x)
     fy = model.apply(vgg_params, jax.lax.stop_gradient(y))
     loss = 0.0
     for w, a, b in zip(weights, fx, fy):
-        loss = loss + w * jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b)))
+        d = jnp.abs(a - jax.lax.stop_gradient(b)).astype(jnp.float32)
+        loss = loss + w * jnp.mean(d)
     return loss

@@ -137,12 +137,13 @@ def _shift_fwd_pallas(base, rem, w, wide, out_w):
     def kernel(base_ref, rem_ref, w_ref, src_ref, out_ref):
         i = pl.program_id(0)
         b = pl.multiple_of(base_ref[i], 128)
-        blk = src_ref[:, pl.ds(b, win)]
+        # roll in f32 (Mosaic: "Rotate with non-32-bit data" unimplemented)
+        blk = src_ref[:, pl.ds(b, win)].astype(jnp.float32)
         rolled = pltpu.roll(blk, shift=win - rem_ref[i], axis=1)
         acc = w_ref[:, 0][:, None] * rolled[:, :out_w]
         for t in range(1, _TAPS):
             acc = acc + w_ref[:, t][:, None] * rolled[:, t:t + out_w]
-        out_ref[:, :] = acc
+        out_ref[:, :] = acc.astype(out_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -169,19 +170,19 @@ def _shift_bwd_pallas(base, rem, w, dout, v_dim):
     def kernel(base_ref, rem_ref, w_ref, dout_ref, dw_ref):
         i = pl.program_id(0)
         b = pl.multiple_of(base_ref[i], 128)
-        d = dout_ref[:, :]
+        d = dout_ref[:, :].astype(jnp.float32)
         # accumulate taps as static rolls of the zero-padded cotangent
         # (``.at[].add``/dynamic_slice lower to unsupported Mosaic ops);
         # the pad tail (win - out_w >= _TAPS) absorbs the wrap-around.
         dpad = jnp.concatenate(
-            [d, jnp.zeros((rb, win - out_w), dout.dtype)], axis=1)
+            [d, jnp.zeros((rb, win - out_w), jnp.float32)], axis=1)
         acc = w_ref[:, 0][:, None] * dpad
         for t in range(1, _TAPS):
             acc = acc + w_ref[:, t][:, None] * pltpu.roll(dpad, shift=t,
                                                           axis=1)
         rolled = pltpu.roll(acc, shift=rem_ref[i], axis=1)
-        dw_ref[:, :] = jnp.zeros((rb, vp), dout.dtype)
-        dw_ref[:, pl.ds(b, win)] = rolled
+        dw_ref[:, :] = jnp.zeros((rb, vp), dw_ref.dtype)
+        dw_ref[:, pl.ds(b, win)] = rolled.astype(dw_ref.dtype)
 
     dwide = pl.pallas_call(
         kernel,
@@ -203,23 +204,25 @@ def _shift_fwd_ref(base, rem, w, wide, out_w):
     start = jnp.repeat(base + rem, _ROWS_PER_BLOCK)
     idx = start[:, None] + jnp.arange(out_w + _TAPS)[None, :]
     win = jnp.take_along_axis(
-        jnp.pad(wide, ((0, 0), (0, _win(out_w)))), idx, axis=1)
-    out = jnp.zeros((r, out_w), wide.dtype)
+        jnp.pad(wide, ((0, 0), (0, _win(out_w)))), idx,
+        axis=1).astype(jnp.float32)
+    out = jnp.zeros((r, out_w), jnp.float32)
     for t in range(_TAPS):
         out = out + w[:, t][:, None] * win[:, t:t + out_w]
-    return out
+    return out.astype(wide.dtype)
 
 
 def _shift_bwd_ref(base, rem, w, dout, v_dim):
     r, out_w = dout.shape
     start = jnp.repeat(base + rem, _ROWS_PER_BLOCK)
-    dwin = jnp.zeros((r, out_w + _TAPS), dout.dtype)
+    dwin = jnp.zeros((r, out_w + _TAPS), jnp.float32)
+    d32 = dout.astype(jnp.float32)
     for t in range(_TAPS):
-        dwin = dwin.at[:, t:t + out_w].add(w[:, t][:, None] * dout)
+        dwin = dwin.at[:, t:t + out_w].add(w[:, t][:, None] * d32)
     idx = start[:, None] + jnp.arange(out_w + _TAPS)[None, :]
-    dwide = jnp.zeros((r, v_dim + _win(out_w)), dout.dtype)
+    dwide = jnp.zeros((r, v_dim + _win(out_w)), jnp.float32)
     dwide = dwide.at[jnp.arange(r)[:, None], idx].add(dwin)
-    return dwide[:, :v_dim]
+    return dwide[:, :v_dim].astype(dout.dtype)
 
 
 # The shift and its adjoint form a mutually-defined linear pair: each is a
@@ -308,15 +311,14 @@ def _safe(x, eps=1e-4):
     return jnp.where(jnp.abs(x) < eps, jnp.where(x < 0, -eps, eps), x)
 
 
-def affine_warp_twopass(img, mat, use_pallas=None,
-                        precision=lax.Precision.HIGHEST):
-    """Two-pass TPU warp, same interface/convention as bilinear_warp_gather
-    (square canvases, out size == in size). mat: [N, 3, 3] pixel-space,
-    (sx, sy, 1) = mat @ (x, y, 1)."""
-    n, h, w, c = img.shape
+def _warp_core_planar(xp, mat, use_pallas,
+                      precision=lax.Precision.HIGHEST):
+    """Two-pass warp on planar [n, c, H, W] input (square canvas). mat is
+    the pixel-space [N, 3, 3] output->source map, (sx, sy, 1) = mat@(x,y,1).
+    Returns planar [n, c, H, W]. All big intermediates keep spatial minor
+    dims (no N- or C-minor layouts — those get catastrophic lane padding)."""
+    n, c, h, w = xp.shape
     assert h == w, "two-pass warp assumes a square canvas"
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
 
     m00, m01, m02 = mat[:, 0, 0], mat[:, 0, 1], mat[:, 0, 2]
     m10, m11, m12 = mat[:, 1, 0], mat[:, 1, 1], mat[:, 1, 2]
@@ -325,8 +327,8 @@ def affine_warp_twopass(img, mat, use_pallas=None,
     # so pass-1's line slope |m01/m11| <= 1. img_q[y, x] = img[x, n-1-y];
     # equivalently source coords (sx, sy) -> (sy, n-1-sx).
     swap = jnp.abs(m01) > jnp.abs(m11)
-    img_q = jnp.flip(jnp.swapaxes(img, 1, 2), axis=1)   # img_q[y,x]=img[x,H-1-y]
-    imgp = jnp.where(swap[:, None, None, None], img_q, img)
+    img_q = jnp.flip(jnp.swapaxes(xp, 2, 3), axis=2)   # img_q[y,x]=img[x,H-1-y]
+    xp = jnp.where(swap[:, None, None, None], img_q, xp)
     nm1 = float(h - 1)
     a00 = jnp.where(swap, m10, m00)
     a01 = jnp.where(swap, m11, m01)
@@ -342,15 +344,11 @@ def affine_warp_twopass(img, mat, use_pallas=None,
     c1 = a02 - a01 * a12 / a11s
 
     v_dim = ((w + 2 * h + _TAPS + 127) // 128) * 128
-    dtype = img.dtype
+    dtype = xp.dtype
 
-    # planar layout: [n, c, y, x] so shift rows are (n, c, y) with q shared
-    # across c, and the resample matmul contracts the minor axis.
-    x0 = jnp.transpose(imgp, (0, 3, 1, 2))
-
-    def one_pass(xp, alpha, beta, off, out_w):
-        # xp: [n, c, L, J]  (resample along J, lines L)
-        nn, cc, ll, jj = xp.shape
+    def one_pass(xq, alpha, beta, off, out_w):
+        # xq: [n, c, L, J]  (resample along J, lines L)
+        nn, cc, ll, jj = xq.shape
         alpha_s = _safe(alpha)
         lines = jnp.arange(ll, dtype=jnp.float32)
         # choose w0 so positions start slightly before the smallest need
@@ -359,7 +357,7 @@ def affine_warp_twopass(img, mat, use_pallas=None,
         w0 = (qmin - 2.0) * alpha            # source-pos offset of v=0
         q = qraw - (qmin - 2.0)[:, None]     # per-line window start, >=2
         b = _resample_matrix(alpha, w0, jj, v_dim, dtype)
-        wide = jnp.einsum("nclj,njv->nclv", xp, b, precision=precision)
+        wide = jnp.einsum("nclj,njv->nclv", xq, b, precision=precision)
         qrows = jnp.broadcast_to(q[:, None, :], (nn, cc, ll)).reshape(-1)
         r = qrows.shape[0]
         pad_r = (-r) % _ROWS_PER_BLOCK
@@ -373,8 +371,96 @@ def affine_warp_twopass(img, mat, use_pallas=None,
         return out.reshape(nn, cc, ll, out_w)
 
     # pass 1: rows are source rows y_s; Sx(y_s, x_t) = alpha1 x_t + beta1 y_s + c1
-    tmp = one_pass(x0, alpha1, beta1, c1, w)            # [n, c, y_s, x_t]
+    tmp = one_pass(xp, alpha1, beta1, c1, w)            # [n, c, y_s, x_t]
     # pass 2: lines are target columns x_t; Sy(x_t, y_t) = a11 y_t + a10 x_t + a12
     tmp_t = jnp.swapaxes(tmp, 2, 3)                     # [n, c, x_t, y_s]
     out_t = one_pass(tmp_t, a11, a10, a12, h)           # [n, c, x_t, y_t]
-    return jnp.transpose(out_t, (0, 3, 2, 1))           # [n, y_t, x_t, c]
+    return jnp.swapaxes(out_t, 2, 3)                    # [n, c, y_t, x_t]
+
+
+def affine_warp_twopass(img, mat, use_pallas=None,
+                        precision=lax.Precision.HIGHEST):
+    """Two-pass TPU warp, same interface/convention as bilinear_warp_gather
+    (square canvases, out size == in size). mat: [N, 3, 3] pixel-space,
+    (sx, sy, 1) = mat @ (x, y, 1). NHWC in/out; prefer the planar pipeline
+    (`geom_resample_twopass`) inside larger chains to avoid NHWC<->planar
+    transposes of big canvases."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    xp = jnp.transpose(img, (0, 3, 1, 2))
+    out = _warp_core_planar(xp, mat, use_pallas, precision)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def upfirdn1d_matrix(f, n_in, up=1, down=1, pad0=0, pad1=0,
+                     flip_filter=False, gain=1.0):
+    """[n_out, n_in] matrix exactly matching one separable axis pass of
+    ops.upfirdn2d.upfirdn2d (zero-stuff `up`, pad, correlate, stride `down`).
+
+    Built in numpy at trace time (static filter/shape), so resampling
+    becomes a single MXU matmul on planar tensors instead of an NHWC
+    depthwise conv — avoiding the pathological padded layouts XLA picks
+    for 3-channel NHWC canvases.
+    """
+    f = np.asarray(f, np.float64) * float(gain)
+    if not flip_filter:
+        f = f[::-1]
+    fl = len(f)
+    # The zero-stuffed signal below has length n_in*up (reference semantics:
+    # `up-1` trailing zeros per sample), so no extra pad1 adjustment.
+    n_out = (n_in * up + pad0 + pad1 - fl) // down + 1
+    m = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        for t in range(fl):
+            k = i * down + t - pad0
+            if 0 <= k < n_in * up and k % up == 0:
+                m[i, k // up] += f[t]
+    return m
+
+
+def _upsample_matrix(f, n_in, up=2):
+    """Matches ops.upfirdn2d.upsample2d's per-axis pass (incl. gain)."""
+    fl = len(np.asarray(f))
+    return upfirdn1d_matrix(
+        f, n_in, up=up, pad0=(fl + up - 1) // 2, pad1=(fl - up) // 2,
+        flip_filter=False, gain=up)
+
+
+def _downsample_matrix(f, n_in, down=2, extra_pad=0):
+    """Matches ops.upfirdn2d.downsample2d(padding=extra_pad,
+    flip_filter=True)'s per-axis pass."""
+    fl = len(np.asarray(f))
+    return upfirdn1d_matrix(
+        f, n_in, down=down, pad0=extra_pad + (fl - down + 1) // 2,
+        pad1=extra_pad + (fl - down) // 2, flip_filter=True, gain=1)
+
+
+def geom_resample_twopass(images, mat_pix, f_taps, margin, use_pallas=None):
+    """The ADA geometric stage as one planar pipeline: reflect-pad by
+    `margin`, 2x FIR upsample, affine warp (`mat_pix` in up-canvas pixel
+    coords), 2x FIR downsample with the margin cropped off. NHWC in/out.
+
+    Replaces pad + upsample2d + warp + downsample2d (augment.py geometry,
+    reference augment.py:270-305): identical math, but every 2x-canvas
+    intermediate is planar [n, c, Y, X] with spatial minor dims, and the
+    up/down FIRs are matmuls — no NHWC 3-channel canvas is ever
+    materialized (XLA pads those to 128 lanes, 16-40x memory blowup).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n, h, w, c = images.shape
+    assert h == w
+    xp = jnp.transpose(images, (0, 3, 1, 2))
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (margin, margin), (margin, margin)),
+                 mode="reflect")
+    npad = h + 2 * margin
+    u = jnp.asarray(_upsample_matrix(f_taps, npad), xp.dtype)
+    xp = jnp.einsum("ij,ncyj->ncyi", u, xp)      # upsample x
+    xp = jnp.einsum("ij,ncjx->ncix", u, xp)      # upsample y
+    xp = _warp_core_planar(xp, mat_pix, use_pallas)
+    d = jnp.asarray(
+        _downsample_matrix(f_taps, 2 * npad, extra_pad=-2 * margin),
+        xp.dtype)
+    xp = jnp.einsum("ij,ncyj->ncyi", d, xp)      # downsample x + crop
+    xp = jnp.einsum("ij,ncjx->ncix", d, xp)      # downsample y + crop
+    return jnp.transpose(xp, (0, 2, 3, 1))

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import setup_filter, upsample2d, downsample2d
-from ..ops.affine_warp import affine_warp_twopass, bilinear_warp_gather
+from ..ops.affine_warp import (bilinear_warp_gather, geom_resample_twopass)
 
 # 'sym2'/'sym6' wavelets (reference augment.py:21-38).
 WAVELETS = {
@@ -251,6 +251,9 @@ def augment_pipe(images, p, key, cfg: AugmentConfig, debug_percentile=None,
         used_geom = True
 
     if used_geom:
+        if impl == "auto":
+            impl = ("twopass" if jax.default_backend() == "tpu"
+                    else "gather")
         hz_geom = setup_filter(WAVELETS["sym6"])
         hz_pad = len(WAVELETS["sym6"]) // 4
         # Static reflect margin of Hz_pad*2 (the data-independent part of the
@@ -259,10 +262,7 @@ def augment_pipe(images, p, key, cfg: AugmentConfig, debug_percentile=None,
         # reach is handled analytically by the mirror sampler instead of the
         # reference's data-dependent (dynamic-shape) margin.
         m = hz_pad * 2
-        images = jnp.pad(
-            images, ((0, 0), (m, m), (m, m), (0, 0)), mode="reflect")
-        up = upsample2d(images, hz_geom, up=2)
-        n_, h2, w2, _ = up.shape
+        h2 = w2 = (height + 2 * m) * 2
         g = _scale2d(jnp.asarray(2.0), jnp.asarray(2.0)) @ g_inv @ \
             _scale2d(jnp.asarray(0.5), jnp.asarray(0.5))
         g = _translate2d(jnp.full((n,), -0.5), jnp.full((n,), -0.5)) @ g @ \
@@ -283,16 +283,21 @@ def augment_pipe(images, p, key, cfg: AugmentConfig, debug_percentile=None,
         mat_pix = jnp.einsum(
             "ij,njk,kl->nil", jnp.asarray(to_pix), g, jnp.asarray(to_norm),
             precision=jax.lax.Precision.HIGHEST)
-        if impl == "auto":
-            impl = ("twopass" if jax.default_backend() == "tpu"
-                    else "gather")
         if impl == "twopass":
-            up = affine_warp_twopass(up, mat_pix)
+            # Planar bf16 pipeline: pad/up-FIR/warp/down-FIR with spatial
+            # minor dims throughout — the NHWC 3-channel 2x canvases of the
+            # gather path get pathological padded layouts (16-40x HBM).
+            images = geom_resample_twopass(
+                images.astype(jnp.bfloat16), mat_pix,
+                hz_geom, m).astype(images.dtype)
         else:
+            padded = jnp.pad(
+                images, ((0, 0), (m, m), (m, m), (0, 0)), mode="reflect")
+            up = upsample2d(padded, hz_geom, up=2)
             up = bilinear_warp_gather(up, mat_pix)
-        # Downsample and crop the margin back off (reference augment.py:305).
-        images = downsample2d(up, hz_geom, down=2, padding=-m * 2,
-                              flip_filter=True)
+            # Downsample, crop the margin back off (reference augment.py:305).
+            images = downsample2d(up, hz_geom, down=2, padding=-m * 2,
+                                  flip_filter=True)
 
     # ---- color transform --------------------------------------------------
     c_mat = jnp.tile(jnp.eye(4), (n, 1, 1))

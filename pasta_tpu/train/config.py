@@ -115,6 +115,11 @@ class TrainConfig:
     # numerics parity).
     d_num_bf16_res: int = 3
     g_num_bf16_res: int = 0
+    # Run the VGG19 perceptual-loss feature extractor in bf16 (fp32
+    # accumulation in the per-slice reductions). The perceptual distance is
+    # insensitive to feature precision, and the VGG fwd+bwd is a large
+    # share of Gmain's FLOPs at 512px.
+    vgg_bf16: bool = True
     # Donate the input state to the step program (halves peak param/opt
     # memory; the caller must not reuse the passed-in state object — the
     # training loop rebinds it every step). Smoke/test configs disable it

@@ -53,7 +53,9 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None):
     sanitize = (lambda t: jax.tree.map(
         lambda x: jnp.nan_to_num(x, nan=0.0, posinf=1e5, neginf=-1e5), t)
     ) if cfg.sanitize_grads else (lambda t: t)
-    _vgg_loss = jax.checkpoint(vgg_loss) if cfg.remat else vgg_loss
+    _vgg_dtype = jnp.bfloat16 if cfg.vgg_bf16 else None
+    _vgg_base = functools.partial(vgg_loss, dtype=_vgg_dtype)
+    _vgg_loss = jax.checkpoint(_vgg_base) if cfg.remat else _vgg_base
 
     def _g_outputs(g_params, g_buffers, batch, noise_key):
         """G forward returning (img, finetune, parsing, style_code),

@@ -86,7 +86,9 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
     # so are the discriminator forwards (the G phase backprops through D on
     # three branches — img/finetune/parsing — whose activations would all
     # be live at once).
-    _vgg_loss = jax.checkpoint(vgg_loss) if cfg.remat else vgg_loss
+    _vgg_dtype = jnp.bfloat16 if cfg.vgg_bf16 else None
+    _vgg_base = functools.partial(vgg_loss, dtype=_vgg_dtype)
+    _vgg_loss = jax.checkpoint(_vgg_base) if cfg.remat else _vgg_base
 
     def _d_apply(params, x, c):
         return d.apply({"params": params}, x, c)
@@ -526,7 +528,9 @@ def _build_phase_fns(cfg: TrainConfig, vgg_params=None):
                 pred_parsing, batch["gt_parsing"][..., 0].astype(jnp.int32)
             ) * cfg.mask_weight
         if cfg.vgg_weight > 0 and vgg_params is not None:
-            _vgg = jax.checkpoint(vgg_loss) if cfg.remat else vgg_loss
+            _vgg_base = functools.partial(
+                vgg_loss, dtype=jnp.bfloat16 if cfg.vgg_bf16 else None)
+            _vgg = jax.checkpoint(_vgg_base) if cfg.remat else _vgg_base
             loss = loss + (
                 _vgg(vgg_params, img, batch["real_img"])
                 + _vgg(vgg_params, finetune, batch["real_img"])

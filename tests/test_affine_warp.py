@@ -140,3 +140,78 @@ class TestAugmentIntegration:
         mse = float(jnp.mean((a - b) ** 2))
         dyn = float(jnp.mean(a ** 2))
         assert mse < 0.02 * dyn, (mse, dyn)
+
+
+class TestUpfirdnMatrices:
+    def test_upsample_matrix_matches_upsample2d(self):
+        from pasta_tpu.ops import setup_filter, upsample2d
+        from pasta_tpu.ops.affine_warp import _upsample_matrix
+        from pasta_tpu.train.augment import WAVELETS
+        f = setup_filter(WAVELETS["sym6"])
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(2, 36, 36, 3).astype(np.float32))
+        ref = np.asarray(upsample2d(x, f, up=2))
+        u = jnp.asarray(_upsample_matrix(f, 36))
+        xp = jnp.transpose(x, (0, 3, 1, 2))
+        xp = jnp.einsum("ij,ncyj->ncyi", u, xp)
+        xp = jnp.einsum("ij,ncjx->ncix", u, xp)
+        got = np.asarray(jnp.transpose(xp, (0, 2, 3, 1)))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_downsample_matrix_matches_downsample2d(self):
+        from pasta_tpu.ops import setup_filter, downsample2d
+        from pasta_tpu.ops.affine_warp import _downsample_matrix
+        from pasta_tpu.train.augment import WAVELETS
+        f = setup_filter(WAVELETS["sym6"])
+        rng = np.random.RandomState(1)
+        m = 6
+        x = jnp.asarray(rng.rand(2, 96, 96, 3).astype(np.float32))
+        ref = np.asarray(downsample2d(x, f, down=2, padding=-2 * m,
+                                      flip_filter=True))
+        d = jnp.asarray(_downsample_matrix(f, 96, extra_pad=-2 * m))
+        xp = jnp.transpose(x, (0, 3, 1, 2))
+        xp = jnp.einsum("ij,ncyj->ncyi", d, xp)
+        xp = jnp.einsum("ij,ncjx->ncix", d, xp)
+        got = np.asarray(jnp.transpose(xp, (0, 2, 3, 1)))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+class TestGeomPipeline:
+    def _both(self, img, mats, m=6):
+        """planar twopass pipeline vs pad+up+gather-warp+down."""
+        from pasta_tpu.ops import setup_filter, upsample2d, downsample2d
+        from pasta_tpu.ops.affine_warp import geom_resample_twopass
+        from pasta_tpu.train.augment import WAVELETS
+        f = setup_filter(WAVELETS["sym6"])
+        mats = jnp.asarray(np.stack(mats))
+        padded = jnp.pad(img, ((0, 0), (m, m), (m, m), (0, 0)),
+                         mode="reflect")
+        up = upsample2d(padded, f, up=2)
+        up = bilinear_warp_gather(up, mats)
+        ref = downsample2d(up, f, down=2, padding=-2 * m, flip_filter=True)
+        got = geom_resample_twopass(img, mats, f, m, use_pallas=False)
+        return np.asarray(ref), np.asarray(got)
+
+    def test_identity_and_integer_translate(self, noise_img):
+        c0 = (H + 2 * 6) * 2  # up-canvas size
+        def up_mat(tx, ty):
+            a = np.eye(3, dtype=np.float32)
+            a[0, 2] = tx
+            a[1, 2] = ty
+            return a
+        ref, got = self._both(noise_img, [up_mat(0, 0), up_mat(4, -8)])
+        np.testing.assert_allclose(ref, got, atol=1e-4)
+
+    def test_rotation_psnr(self, smooth_img):
+        c0 = ((H + 12) * 2 - 1) / 2
+        th = 0.4
+        a = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1.0]], np.float32)
+        t1 = np.array([[1, 0, -c0], [0, 1, -c0], [0, 0, 1.0]])
+        t2 = np.array([[1, 0, c0], [0, 1, c0], [0, 0, 1.0]])
+        mat = (t2 @ a @ t1).astype(np.float32)
+        ref, got = self._both(smooth_img, [mat, mat])
+        mse = float(np.mean((ref - got) ** 2))
+        assert 10 * np.log10(1.0 / max(mse, 1e-16)) > 32
