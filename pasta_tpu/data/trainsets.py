@@ -251,3 +251,76 @@ def batch_to_train_inputs(items):
             denorm_lower.sum(axis=-1, keepdims=True) > 0).astype(np.float32),
         gt_parsing=stack("gt_parsing"),
     )
+
+
+def batch_to_raw_inputs(items):
+    """Stack per-sample dicts into a COMPACT raw batch for device upload.
+
+    `batch_to_train_inputs` assembles ~27 MB of float32 per item on the
+    host; over a slow host->device link (e.g. the tunneled dev chip) that
+    upload dominates the training step. This variant keeps every field in
+    its storage dtype (~4 MB/item) — uint8 images/masks/labels plus a [3]
+    skin color — and `assemble_train_batch` expands it on device with the
+    exact same arithmetic.
+    """
+    # round-quantize: items are uint8 in the shipped 512 pipeline (raw
+    # upload is then bit-exact); debug resolutions resize through float.
+    u8 = lambda key: np.round(
+        np.stack([item[key] for item in items])).astype(np.uint8)
+    skin = np.stack([np.asarray(item["skin_average"])[0, 0]
+                     for item in items]).astype(np.float32)       # [n, 3]
+    # lower_label_map values are {0, 127.5, 255} (reference lower_label_map
+    # in {0, .5, 1}*255, dataset.py:644-651): store the class index.
+    cls = np.stack([
+        np.round(np.asarray(item["lower_label_map"], np.float32) / 127.5)
+        for item in items]).astype(np.uint8)
+    return dict(
+        image=u8("image"),
+        pose=u8("pose"),
+        norm_img=u8("norm_img"),
+        norm_img_lower=u8("norm_img_lower"),
+        denorm_upper_img=u8("denorm_upper_img"),
+        denorm_lower_img=u8("denorm_lower_img"),
+        retain_mask=u8("retain_mask"),
+        gt_parsing=u8("gt_parsing"),
+        skin_rgb=skin,
+        lower_label_cls=cls,
+        lower_bound=u8("lower_bound"),
+    )
+
+
+def assemble_train_batch(raw):
+    """Device-side raw batch -> train-step inputs; numerically identical to
+    `batch_to_train_inputs` (jit this; runs on the accelerator so the
+    host->device transfer stays uint8)."""
+    import jax.numpy as jnp
+
+    norm01 = lambda x: x.astype(jnp.float32) / 127.5 - 1.0
+    image = norm01(raw["image"])
+    n, h, w, _ = image.shape
+    retain_mask = raw["retain_mask"].astype(jnp.float32)
+    retain = image * retain_mask - (1 - retain_mask)
+    skin = jnp.broadcast_to(
+        (raw["skin_rgb"] / 127.5 - 1.0)[:, None, None, :], (n, h, w, 3))
+    denorm_upper = raw["denorm_upper_img"].astype(jnp.float32)
+    denorm_lower = raw["denorm_lower_img"].astype(jnp.float32)
+    return dict(
+        real_img=image,
+        pose=jnp.concatenate([
+            norm01(raw["pose"]),
+            raw["lower_label_cls"].astype(jnp.float32) - 1.0,
+            norm01(raw["lower_bound"])], axis=-1),
+        style_input=jnp.concatenate(
+            [norm01(raw["norm_img"]), norm01(raw["norm_img_lower"])],
+            axis=-1),
+        retain=jnp.concatenate([retain, skin], axis=-1),
+        denorm_upper_input=denorm_upper / 127.5 - 1.0,
+        denorm_lower_input=denorm_lower / 127.5 - 1.0,
+        denorm_upper_mask=(
+            denorm_upper.sum(axis=-1, keepdims=True) > 0
+        ).astype(jnp.float32),
+        denorm_lower_mask=(
+            denorm_lower.sum(axis=-1, keepdims=True) > 0
+        ).astype(jnp.float32),
+        gt_parsing=raw["gt_parsing"].astype(jnp.float32),
+    )

@@ -124,8 +124,9 @@ class TestZipDatasets:
 
         ds = TryonTrainDataset(packed_zip, seed=0, resolution=64)
         loader = iter(ParallelLoader(ds, batch_size=4, num_workers=4))
-        batch = next(loader)
-        assert batch["real_img"].shape[0] == 4
+        batch = next(loader)  # compact raw batch (uint8 fields)
+        assert batch["image"].shape[0] == 4
+        assert batch["image"].dtype == np.uint8
 
     def test_pair_dataset_from_zip(self, packed_zip):
         from pasta_tpu.data.testsets import TryonPairDataset
@@ -142,3 +143,31 @@ class TestZipDatasets:
             pytest.skip("no fully-packed pair in the 6-image subset")
         item = ds[ok[0]]
         assert item["norm_img"].shape[-1] == 30
+
+    def test_device_assemble_matches_host_assembly(self, packed_zip):
+        """assemble_train_batch(batch_to_raw_inputs(x)) must reproduce
+        batch_to_train_inputs(x) exactly (same float ops, device-side)."""
+        import jax
+        from pasta_tpu.data.trainsets import (
+            TryonTrainDataset, assemble_train_batch, batch_to_raw_inputs,
+            batch_to_train_inputs)
+
+        # shipped resolution (512): items stay uint8, raw path is exact
+        ds = TryonTrainDataset(packed_zip, seed=0)
+        items = [ds[i] for i in range(2)]
+        host = batch_to_train_inputs(items)
+        dev = jax.jit(assemble_train_batch)(batch_to_raw_inputs(items))
+        assert set(host) == set(dev)
+        for k in host:
+            np.testing.assert_allclose(
+                np.asarray(dev[k]), host[k], atol=1e-6, err_msg=k)
+        # debug resolutions resize through float: round-quantized upload,
+        # at most half a gray level off
+        ds64 = TryonTrainDataset(packed_zip, seed=0, resolution=64)
+        items64 = [ds64[i] for i in range(2)]
+        host64 = batch_to_train_inputs(items64)
+        dev64 = jax.jit(assemble_train_batch)(batch_to_raw_inputs(items64))
+        for k in host64:
+            np.testing.assert_allclose(
+                np.asarray(dev64[k]), host64[k], atol=0.51 / 127.5 + 1e-6,
+                err_msg=k)
