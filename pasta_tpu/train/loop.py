@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import os
+import re
 import sys
 import time
 from typing import Optional, Sequence
@@ -272,12 +273,23 @@ def _training_loop_impl(
     step_metrics = []  # device-side; fetched once per tick (no per-step sync)
 
     assemble = jax.jit(assemble_train_batch)
+    compiled_variants = set()
     for step in range(start_step, total_steps):
         batch_np = next(loader)
         batch = assemble(shard_batch(batch_np, mesh))
         key, sub = jax.random.split(key)
         do_r1_d = cfg.r1_gamma != 0 and step % cfg.d_reg_interval == 0
         do_pl = cfg.pl_weight != 0 and step % cfg.g_reg_interval == 0
+        variant = (do_r1_d, do_pl)
+        if n_proc > 1 and variant not in compiled_variants:
+            # First call of a step variant triggers its (minutes-long)
+            # compile; the cross-process collective rendezvous inside the
+            # step has a short timeout, so a process that compiled faster
+            # would give up waiting for the laggard. Sync entry to
+            # compile+execute through the coordination service (which
+            # accepts a long explicit timeout).
+            compiled_variants.add(variant)
+            _dist_barrier(f"step-variant-{variant}")
         state, metrics = train_step(state, batch, sub, do_r1_d=do_r1_d,
                                     do_r1_dp=do_r1_d, do_pl=do_pl)
         step_metrics.append(metrics)
@@ -447,3 +459,17 @@ def _save_snapshot(cfg, state, batch, run_dir, step):
     ckpt_dir = os.path.join(run_dir, f"ckpt-{step:06d}")
     save_checkpoint_variables(ckpt_dir, jax.device_get(state))
     print(f"snapshot: fakes{step:06d}.png + {ckpt_dir}", flush=True)
+
+
+def _dist_barrier(name, timeout_ms=60 * 60 * 1000):
+    """Cross-process barrier via the jax.distributed coordination service.
+
+    Unlike a device collective (whose gloo/ICI rendezvous has a short
+    fixed timeout), the coordination-service barrier takes an explicit
+    timeout — used to keep processes in lockstep across minutes-long
+    per-variant step compiles (see the call site in the training loop)."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(re.sub(r"[^\w-]", "_", name), timeout_ms)
