@@ -139,15 +139,16 @@ def sleeve_mask_from(record):
 def skin_average_map(image, parsing):
     """Per-channel median of neck+face skin, broadcast to [H, W, 3]
     (dataset.py:2062-2077)."""
-    skin_mask = (parsing == 10).astype(np.uint8) + (parsing == 13).astype(np.uint8)
-    skin = skin_mask * image
-    out = []
+    skin_mask = np.squeeze((parsing == 10) | (parsing == 13))
+    skin = image[skin_mask]                       # [K, 3]
+    meds = []
     for ch in range(3):
-        vals = skin[..., ch].reshape(-1)
-        valid = vals[vals > 0]
-        med = np.median(valid) if valid.size else 0.0
-        out.append(np.full_like(image[..., 0:1], med, dtype=np.float64))
-    return np.concatenate(out, axis=2)
+        valid = skin[:, ch][skin[:, ch] > 0]
+        meds.append(np.median(valid) if valid.size else 0.0)
+    # broadcast view — callers treat it as read-only; the raw-batch path
+    # reduces it back to the [3] color anyway
+    return np.broadcast_to(
+        np.asarray(meds, np.float64), image.shape[:2] + (3,))
 
 
 def retain_mask_of(record):
@@ -255,6 +256,45 @@ def normalize_patches(
     denorm_upper_wo_sleeve = np.zeros_like(upper_img)
     denorm_lower = np.zeros_like(upper_img)
 
+    # Hoisted sleeve routing (was recomputed per part: 4 full-canvas
+    # multiplies x 10 parts).
+    if sleeve_mask is not None:
+        up_img_s = upper_img * sleeve_mask
+        up_mask_s = upper_mask_rgb * sleeve_mask
+        up_img_b = upper_img * (1 - sleeve_mask)
+        up_mask_b = upper_mask_rgb * (1 - sleeve_mask)
+    else:
+        up_img_s = up_img_b = upper_img
+        up_mask_s = up_mask_b = upper_mask_rgb
+
+    def _paste(dsts, part_img, part_mask, m_inv):
+        """Composite a warped patch into each dst, restricted to the
+        projected quad's bbox (+erode_k margin of warp-constant zeros, so
+        cv2.erode's border behavior matches the full-canvas composite).
+        Exact: outside the bbox the warped patch and its eroded mask are
+        identically zero."""
+        corners = np.array(
+            [[0, 0, 1], [w - 1, 0, 1], [0, h - 1, 1], [w - 1, h - 1, 1]],
+            np.float64) @ np.asarray(m_inv, np.float64).T
+        if np.any(np.abs(corners[:, 2]) < 1e-9):
+            x0, y0, x1, y1 = 0, 0, o_w, o_h        # degenerate: full canvas
+        else:
+            xy = corners[:, :2] / corners[:, 2:3]
+            x0 = max(int(np.floor(xy[:, 0].min())) - kernel_k, 0)
+            y0 = max(int(np.floor(xy[:, 1].min())) - kernel_k, 0)
+            x1 = min(int(np.ceil(xy[:, 0].max())) + kernel_k + 2, o_w)
+            y1 = min(int(np.ceil(xy[:, 1].max())) + kernel_k + 2, o_h)
+        if x0 >= x1 or y0 >= y1:
+            return
+        shift = np.array([[1, 0, -x0], [0, 1, -y0], [0, 0, 1]], np.float64)
+        m_roi = shift @ np.asarray(m_inv, np.float64)
+        patch = _warp(part_img, m_roi, (x1 - x0, y1 - y0))
+        dmask = _erode_mask_255(
+            _warp(part_mask, m_roi, (x1 - x0, y1 - y0))[..., 0:1], kernel_k)
+        for dst in dsts:
+            roi = dst[y0:y1, x0:x1]
+            dst[y0:y1, x0:x1] = patch * dmask + roi * (1 - dmask)
+
     for ii in range(len(BODY_PARTS)):
         part_img = np.zeros((h, w, 3), np.uint8)
         part_img_lower = np.zeros((h, w, 3), np.uint8)
@@ -267,35 +307,24 @@ def normalize_patches(
 
         if upper_m is not None:
             if ii in SLEEVE_PARTS:
-                src_img = upper_img * sleeve_mask if sleeve_mask is not None else upper_img
-                src_mask = upper_mask_rgb * sleeve_mask if sleeve_mask is not None else upper_mask_rgb
+                src_img, src_mask = up_img_s, up_mask_s
             else:
-                src_img = upper_img * (1 - sleeve_mask) if sleeve_mask is not None else upper_img
-                src_mask = upper_mask_rgb * (1 - sleeve_mask) if sleeve_mask is not None else upper_mask_rgb
+                src_img, src_mask = up_img_b, up_mask_b
             part_img = _warp(src_img, upper_m, (w, h))
             part_mask = _warp(src_mask, upper_m, (w, h))
 
             if paste_m_inv is not None:
-                denorm_patch = _warp(part_img, paste_m_inv, (o_w, o_h))
-                dmask = _erode_mask_255(
-                    _warp(part_mask, paste_m_inv, (o_w, o_h))[..., 0:1],
-                    kernel_k)
-                denorm_upper = denorm_patch * dmask + denorm_upper * (1 - dmask)
+                dsts = [denorm_upper]
                 if track_wo_sleeve and ii not in SLEEVE_PARTS:
-                    denorm_upper_wo_sleeve = (
-                        denorm_patch * dmask
-                        + denorm_upper_wo_sleeve * (1 - dmask))
+                    dsts.append(denorm_upper_wo_sleeve)
+                _paste(dsts, part_img, part_mask, paste_m_inv)
 
         if ii in LOWER_PARTS and lower_m is not None:
             part_img_lower = _warp(lower_img, lower_m, (w, h))
             part_mask_lower = _warp(lower_mask_rgb, lower_m, (w, h))
             if paste_m_inv is not None:
-                denorm_patch_l = _warp(part_img_lower, paste_m_inv, (o_w, o_h))
-                dmask_l = _erode_mask_255(
-                    _warp(part_mask_lower, paste_m_inv, (o_w, o_h))[..., 0:1],
-                    kernel_k)
-                denorm_lower = (
-                    denorm_patch_l * dmask_l + denorm_lower * (1 - dmask_l))
+                _paste([denorm_lower], part_img_lower, part_mask_lower,
+                       paste_m_inv)
 
         if paste_m is not None:
             ms.append(paste_m[np.newaxis])
