@@ -155,6 +155,7 @@ def _shift_fwd_pallas(base, rem, w, wide, out_w):
             out_specs=pl.BlockSpec((rb, out_w), lambda i, b, rm: (i, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((r, out_w), wide.dtype),
+        interpret=jax.default_backend() != "tpu",
     )(base, rem, w, wide)
 
 
@@ -194,6 +195,7 @@ def _shift_bwd_pallas(base, rem, w, dout, v_dim):
             out_specs=pl.BlockSpec((rb, vp), lambda i, b, rm: (i, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((r, vp), dout.dtype),
+        interpret=jax.default_backend() != "tpu",
     )(base, rem, w, dout)
     return dwide[:, :v_dim]
 
@@ -237,39 +239,60 @@ def _int_zero(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _shift_apply(base, rem, w, wide, out_w, use_pallas):
+def _spmd_wrap(fn, mesh):
+    """Run a per-row kernel under shard_map over the mesh's first axis.
+
+    pallas_call does not partition under plain jit SPMD (this jax requires
+    Manual mesh axes); the shift rows are fully independent, so mapping the
+    kernel over row shards is exact. Applies to the jnp backend too (keeps
+    one code path)."""
+    if mesh is None or np.prod(list(mesh.shape.values())) <= 1:
+        return fn
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec
+
+    p = PartitionSpec(mesh.axis_names[0])
+    return shard_map(fn, mesh=mesh, in_specs=(p, p, p, p), out_specs=p,
+                     check_rep=False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _shift_apply(base, rem, w, wide, out_w, use_pallas, mesh):
     if use_pallas:
-        return _shift_fwd_pallas(base, rem, w, wide, out_w)
-    return _shift_fwd_ref(base, rem, w, wide, out_w)
+        fn = lambda b, r, ww, wd: _shift_fwd_pallas(b, r, ww, wd, out_w)
+    else:
+        fn = lambda b, r, ww, wd: _shift_fwd_ref(b, r, ww, wd, out_w)
+    return _spmd_wrap(fn, mesh)(base, rem, w, wide)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _shift_adjoint(base, rem, w, dout, v_dim, use_pallas):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _shift_adjoint(base, rem, w, dout, v_dim, use_pallas, mesh):
     if use_pallas:
-        return _shift_bwd_pallas(base, rem, w, dout, v_dim)
-    return _shift_bwd_ref(base, rem, w, dout, v_dim)
+        fn = lambda b, r, ww, d: _shift_bwd_pallas(b, r, ww, d, v_dim)
+    else:
+        fn = lambda b, r, ww, d: _shift_bwd_ref(b, r, ww, d, v_dim)
+    return _spmd_wrap(fn, mesh)(base, rem, w, dout)
 
 
-def _shift_apply_fwd(base, rem, w, wide, out_w, use_pallas):
-    out = _shift_apply(base, rem, w, wide, out_w, use_pallas)
+def _shift_apply_fwd(base, rem, w, wide, out_w, use_pallas, mesh):
+    out = _shift_apply(base, rem, w, wide, out_w, use_pallas, mesh)
     return out, (base, rem, w, wide.shape[1])
 
 
-def _shift_apply_bwd(out_w, use_pallas, res, dout):
+def _shift_apply_bwd(out_w, use_pallas, mesh, res, dout):
     base, rem, w, v_dim = res
-    dwide = _shift_adjoint(base, rem, w, dout, v_dim, use_pallas)
+    dwide = _shift_adjoint(base, rem, w, dout, v_dim, use_pallas, mesh)
     return _int_zero(base), _int_zero(rem), jnp.zeros_like(w), dwide
 
 
-def _shift_adjoint_fwd(base, rem, w, dout, v_dim, use_pallas):
-    out = _shift_adjoint(base, rem, w, dout, v_dim, use_pallas)
+def _shift_adjoint_fwd(base, rem, w, dout, v_dim, use_pallas, mesh):
+    out = _shift_adjoint(base, rem, w, dout, v_dim, use_pallas, mesh)
     return out, (base, rem, w, dout.shape[1])
 
 
-def _shift_adjoint_bwd(v_dim, use_pallas, res, c):
+def _shift_adjoint_bwd(v_dim, use_pallas, mesh, res, c):
     base, rem, w, out_w = res
-    ddout = _shift_apply(base, rem, w, c, out_w, use_pallas)
+    ddout = _shift_apply(base, rem, w, c, out_w, use_pallas, mesh)
     return _int_zero(base), _int_zero(rem), jnp.zeros_like(w), ddout
 
 
@@ -277,15 +300,16 @@ _shift_apply.defvjp(_shift_apply_fwd, _shift_apply_bwd)
 _shift_adjoint.defvjp(_shift_adjoint_fwd, _shift_adjoint_bwd)
 
 
-def _row_shift(wide, q, out_w, use_pallas):
+def _row_shift(wide, q, out_w, use_pallas, mesh=None):
     """out[r, x] = (1-f) wide[r, k+x] + f wide[r, k+x+1], (k, f) = divmod q.
 
     wide: [R, V] (R multiple of 8), q: [R] float positions (clamped to the
     valid window). Linear in `wide`; q is treated as non-differentiable
-    (its path comes from augmentation RNG)."""
+    (its path comes from augmentation RNG). Pass the SPMD mesh when called
+    inside a multi-device jit (the kernels then run per-shard)."""
     base, rem, w = _shift_prep(jax.lax.stop_gradient(q), out_w,
                                wide.shape[1])
-    return _shift_apply(base, rem, w, wide, out_w, use_pallas)
+    return _shift_apply(base, rem, w, wide, out_w, use_pallas, mesh)
 
 
 # ---------------------------------------------------------------------------
@@ -311,7 +335,7 @@ def _safe(x, eps=1e-4):
     return jnp.where(jnp.abs(x) < eps, jnp.where(x < 0, -eps, eps), x)
 
 
-def _warp_core_planar(xp, mat, use_pallas,
+def _warp_core_planar(xp, mat, use_pallas, mesh=None,
                       precision=lax.Precision.HIGHEST):
     """Two-pass warp on planar [n, c, H, W] input (square canvas). mat is
     the pixel-space [N, 3, 3] output->source map, (sx, sy, 1) = mat@(x,y,1).
@@ -365,7 +389,7 @@ def _warp_core_planar(xp, mat, use_pallas,
         if pad_r:
             widef = jnp.pad(widef, ((0, pad_r), (0, 0)))
             qrows = jnp.pad(qrows, (0, pad_r))
-        out = _row_shift(widef, qrows, out_w, use_pallas)
+        out = _row_shift(widef, qrows, out_w, use_pallas, mesh)
         if pad_r:
             out = out[:r]
         return out.reshape(nn, cc, ll, out_w)
@@ -378,7 +402,7 @@ def _warp_core_planar(xp, mat, use_pallas,
     return jnp.swapaxes(out_t, 2, 3)                    # [n, c, y_t, x_t]
 
 
-def affine_warp_twopass(img, mat, use_pallas=None,
+def affine_warp_twopass(img, mat, use_pallas=None, mesh=None,
                         precision=lax.Precision.HIGHEST):
     """Two-pass TPU warp, same interface/convention as bilinear_warp_gather
     (square canvases, out size == in size). mat: [N, 3, 3] pixel-space,
@@ -388,7 +412,7 @@ def affine_warp_twopass(img, mat, use_pallas=None,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     xp = jnp.transpose(img, (0, 3, 1, 2))
-    out = _warp_core_planar(xp, mat, use_pallas, precision)
+    out = _warp_core_planar(xp, mat, use_pallas, mesh, precision)
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
@@ -435,7 +459,8 @@ def _downsample_matrix(f, n_in, down=2, extra_pad=0):
         pad1=extra_pad + (fl - down) // 2, flip_filter=True, gain=1)
 
 
-def geom_resample_twopass(images, mat_pix, f_taps, margin, use_pallas=None):
+def geom_resample_twopass(images, mat_pix, f_taps, margin, use_pallas=None,
+                          mesh=None):
     """The ADA geometric stage as one planar pipeline: reflect-pad by
     `margin`, 2x FIR upsample, affine warp (`mat_pix` in up-canvas pixel
     coords), 2x FIR downsample with the margin cropped off. NHWC in/out.
@@ -457,7 +482,7 @@ def geom_resample_twopass(images, mat_pix, f_taps, margin, use_pallas=None):
     u = jnp.asarray(_upsample_matrix(f_taps, npad), xp.dtype)
     xp = jnp.einsum("ij,ncyj->ncyi", u, xp)      # upsample x
     xp = jnp.einsum("ij,ncjx->ncix", u, xp)      # upsample y
-    xp = _warp_core_planar(xp, mat_pix, use_pallas)
+    xp = _warp_core_planar(xp, mat_pix, use_pallas, mesh)
     d = jnp.asarray(
         _downsample_matrix(f_taps, 2 * npad, extra_pad=-2 * margin),
         xp.dtype)

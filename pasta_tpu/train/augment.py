@@ -162,7 +162,7 @@ class AugmentConfig:
 
 
 def augment_pipe(images, p, key, cfg: AugmentConfig, debug_percentile=None,
-                 impl="auto"):
+                 impl="auto", spmd_mesh=None):
     """Apply the ADA pipeline to NHWC images with overall probability `p`.
 
     Args:
@@ -178,6 +178,10 @@ def augment_pipe(images, p, key, cfg: AugmentConfig, debug_percentile=None,
             ops/affine_warp.py; no gathers/scatters, ~40x faster on TPU,
             equal augmentation quality but not bit parity on rotations), or
             'auto' (twopass on TPU, gather elsewhere).
+        spmd_mesh: the jax Mesh when this call sits inside a multi-device
+            jitted program — the twopass warp's kernels then run per-shard
+            via shard_map (pallas_call does not partition under plain
+            SPMD).
 
     Returns augmented images, same shape.
     """
@@ -289,7 +293,7 @@ def augment_pipe(images, p, key, cfg: AugmentConfig, debug_percentile=None,
             # gather path get pathological padded layouts (16-40x HBM).
             images = geom_resample_twopass(
                 images.astype(jnp.bfloat16), mat_pix,
-                hz_geom, m).astype(images.dtype)
+                hz_geom, m, mesh=spmd_mesh).astype(images.dtype)
         else:
             padded = jnp.pad(
                 images, ((0, 0), (m, m), (m, m), (0, 0)), mode="reflect")

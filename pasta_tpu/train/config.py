@@ -105,6 +105,9 @@ class TrainConfig:
     ada_kimg: float = 500.0
     augment_p_init: float = 0.0
     use_ada: bool = True
+    # Geometric-warp implementation for ADA ('auto' | 'twopass' | 'gather');
+    # 'auto' = the TPU-native two-pass warp on TPU, gather elsewhere.
+    ada_impl: str = "auto"
 
     # Mixed precision. The reference ships fp16 for the D's top-3
     # resolutions with conv_clamp=256 (train.py:196-197) — bf16 here, same

@@ -42,7 +42,7 @@ from .state import TrainState, make_models, make_optimizers
 from .steps import _gt_parsing_onehot
 
 
-def make_decomposed_steps(cfg: TrainConfig, vgg_params=None):
+def make_decomposed_steps(cfg: TrainConfig, vgg_params=None, mesh=None):
     assert cfg.freeze_d_layers == 0 and cfg.grad_accum == 1, (
         "freeze-D / grad accumulation live in the monolithic step")
     assert cfg.pl_weight == 0, (
@@ -111,7 +111,8 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None):
 
         def d_in(x, key):
             if cfg.use_ada:
-                x = augment_pipe(x, ada_p, key, AugmentConfig.bgc())
+                x = augment_pipe(x, ada_p, key, AugmentConfig.bgc(),
+                                 impl=cfg.ada_impl, spmd_mesh=mesh)
             return jnp.concatenate([x, batch["pose"][..., 0:3]], axis=-1)
 
         gen_logits = d.apply({"params": d_params}, d_in(img, keys["aug1"]),
@@ -192,7 +193,8 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None):
         def d_in(x, key):
             n_x = x.shape[0]
             if cfg.use_ada:
-                x = augment_pipe(x, ada_p, key, AugmentConfig.bgc())
+                x = augment_pipe(x, ada_p, key, AugmentConfig.bgc(),
+                                 impl=cfg.ada_impl, spmd_mesh=mesh)
             return jnp.concatenate(
                 [x, batch["pose"][:n_x, ..., 0:3]], axis=-1)
 

@@ -54,7 +54,7 @@ def dryrun(n_devices: int) -> None:
     mesh = make_mesh(n_devices)
     state = init_state(cfg, jax.random.PRNGKey(0))
     state = replicate(state, mesh)
-    train_step = make_train_step(cfg)
+    train_step = make_train_step(cfg, mesh=mesh)
     batch = shard_batch(example_batch(cfg, np.random.RandomState(0)), mesh)
     state, metrics = train_step(state, batch, jax.random.PRNGKey(1),
                                 do_r1_d=True, do_r1_dp=True)

@@ -242,7 +242,7 @@ def _training_loop_impl(
         step_builder = make_phase_steps
     else:
         step_builder = make_train_step
-    train_step = step_builder(cfg, vgg_params=vgg_params)
+    train_step = step_builder(cfg, vgg_params=vgg_params, mesh=mesh)
     # Multi-process (jax.distributed): each process loads its rank-strided
     # 1/num_processes of the global batch; shard_batch assembles the global
     # array from the local shards. Process 0 owns all file output.

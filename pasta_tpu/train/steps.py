@@ -60,11 +60,12 @@ def _style_code(g, g_params, g_buffers, batch):
     return code
 
 
-def _d_in(img, pose, ada_p, aug_key, cfg, augment=True):
+def _d_in(img, pose, ada_p, aug_key, cfg, augment=True, mesh=None):
     """ADA-augment the 3ch image, then concat pose rgb (run_D,
     loss_fullbody.py:100-106)."""
     if augment and cfg.use_ada:
-        img = augment_pipe(img, ada_p, aug_key, AugmentConfig.bgc())
+        img = augment_pipe(img, ada_p, aug_key, AugmentConfig.bgc(),
+                           impl=cfg.ada_impl, spmd_mesh=mesh)
     return jnp.concatenate([img, pose[..., 0:3]], axis=-1)
 
 
@@ -74,7 +75,7 @@ def _gt_parsing_onehot(gt_parsing):
     return jax.nn.one_hot(idx, 7, dtype=jnp.float32)
 
 
-def make_train_step(cfg: TrainConfig, vgg_params=None):
+def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
     """Returns step(state, batch, key, do_r1_d, do_r1_dp) -> (state, metrics).
 
     do_r1_* are static; jit compiles (at most) 4 variants.
@@ -110,8 +111,8 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
             g, g_params, state.g_buffers, batch, keys["noise"])
         gen_c = _style_code(g, g_params, state.g_buffers, batch)
 
-        d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg)
-        d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg)
+        d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg, mesh=mesh)
+        d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg, mesh=mesh)
         gen_logits = _d_apply(state.d_params, d_in, gen_c)
         ft_logits = _d_apply(state.d_params, d_in_ft, gen_c)
 
@@ -171,8 +172,8 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
         img = jax.lax.stop_gradient(img)
         finetune = jax.lax.stop_gradient(finetune)
 
-        d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg)
-        d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg)
+        d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg, mesh=mesh)
+        d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg, mesh=mesh)
         gen_logits = _d_apply(d_params, d_in, gen_c)
         ft_logits = _d_apply(d_params, d_in_ft, gen_c)
         loss_fake = (d_logistic_loss(fake_logits=gen_logits)
@@ -181,7 +182,7 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
         def real_logits_of(real_img):
             n_x = real_img.shape[0]
             real_in = _d_in(real_img, batch["pose"][:n_x], state.ada_p,
-                            keys["aug3"], cfg)
+                            keys["aug3"], cfg, mesh=mesh)
             return _d_apply(d_params, real_in, gen_c[:n_x])
 
         real_logits = real_logits_of(batch["real_img"])
@@ -438,7 +439,7 @@ def make_train_step(cfg: TrainConfig, vgg_params=None):
     return train_step
 
 
-def make_phase_steps(cfg: TrainConfig, vgg_params=None):
+def make_phase_steps(cfg: TrainConfig, vgg_params=None, mesh=None):
     """Split-phase variant of make_train_step: one jitted program per phase
     (G / D / D_parsing / EMA+ADA bookkeeping) instead of one monolithic
     step. Same semantics and call signature; compiles much smaller programs
@@ -452,7 +453,7 @@ def make_phase_steps(cfg: TrainConfig, vgg_params=None):
         "make_train_step (the reference ships it disabled)")
     import functools as _ft
 
-    inner = _build_phase_fns(cfg, vgg_params)
+    inner = _build_phase_fns(cfg, vgg_params, mesh=mesh)
 
     donate = (0,) if cfg.donate else ()
 
@@ -487,7 +488,7 @@ def make_phase_steps(cfg: TrainConfig, vgg_params=None):
     return step
 
 
-def _build_phase_fns(cfg: TrainConfig, vgg_params=None):
+def _build_phase_fns(cfg: TrainConfig, vgg_params=None, mesh=None):
     """Phase bodies shared by make_phase_steps (same math as the monolithic
     step, factored per module update)."""
     g, d, dp = make_models(cfg)
@@ -508,8 +509,8 @@ def _build_phase_fns(cfg: TrainConfig, vgg_params=None):
         img, finetune, pred_parsing, new_buffers = _run_g(
             g, g_params, state.g_buffers, batch, keys["noise"])
         gen_c = _style_code(g, g_params, state.g_buffers, batch)
-        d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg)
-        d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg)
+        d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg, mesh=mesh)
+        d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg, mesh=mesh)
         gen_logits = d.apply({"params": state.d_params}, d_in, gen_c)
         ft_logits = d.apply({"params": state.d_params}, d_in_ft, gen_c)
         parsing_soft = jax.nn.softmax(pred_parsing, axis=-1)
@@ -546,15 +547,15 @@ def _build_phase_fns(cfg: TrainConfig, vgg_params=None):
             update_w_avg=False)
         img = jax.lax.stop_gradient(img)
         finetune = jax.lax.stop_gradient(finetune)
-        d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg)
-        d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg)
+        d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg, mesh=mesh)
+        d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg, mesh=mesh)
         gen_logits = d.apply({"params": d_params}, d_in, gen_c)
         ft_logits = d.apply({"params": d_params}, d_in_ft, gen_c)
         loss = (d_logistic_loss(fake_logits=gen_logits)
                 + d_logistic_loss(fake_logits=ft_logits)) / 2
 
         def real_logits_of(x):
-            real_in = _d_in(x, batch["pose"], state.ada_p, keys["aug3"], cfg)
+            real_in = _d_in(x, batch["pose"], state.ada_p, keys["aug3"], cfg, mesh=mesh)
             return d.apply({"params": d_params}, real_in, gen_c)
 
         real_logits = real_logits_of(batch["real_img"])

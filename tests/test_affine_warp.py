@@ -215,3 +215,76 @@ class TestGeomPipeline:
         ref, got = self._both(smooth_img, [mat, mat])
         mse = float(np.mean((ref - got) ** 2))
         assert 10 * np.log10(1.0 / max(mse, 1e-16)) > 32
+
+
+class TestSPMD:
+    """The shift kernels under multi-device SPMD (shard_map path).
+
+    pallas_call does not partition under plain jit SPMD, so _row_shift
+    runs per-shard via shard_map when a mesh is passed. Runs on the
+    8-device CPU mesh (conftest forces the host-device count)."""
+
+    def _mesh(self):
+        from jax.sharding import Mesh
+        devs = np.asarray(jax.devices()[:8])
+        return Mesh(devs, ("data",))
+
+    def test_row_shift_sharded_matches_single(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from pasta_tpu.ops.affine_warp import _row_shift
+
+        mesh = self._mesh()
+        rng = np.random.RandomState(0)
+        r, v, out_w = 64, 512, 256
+        wide = jnp.asarray(rng.rand(r, v).astype(np.float32))
+        q = jnp.asarray(rng.rand(r).astype(np.float32) * 100)
+
+        ref = _row_shift(wide, q, out_w, use_pallas=False)
+        sh = NamedSharding(mesh, P("data"))
+        widesh = jax.device_put(wide, sh)
+        qsh = jax.device_put(q, sh)
+        for use_pallas in (False, True):  # True = pallas interpret per shard
+            got = jax.jit(
+                lambda w_, q_: _row_shift(w_, q_, out_w, use_pallas, mesh)
+            )(widesh, qsh)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-5)
+
+    def test_row_shift_sharded_grad(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from pasta_tpu.ops.affine_warp import _row_shift
+
+        mesh = self._mesh()
+        rng = np.random.RandomState(1)
+        r, v, out_w = 64, 384, 128  # r/8 blocks must divide the mesh
+        wide = jnp.asarray(rng.rand(r, v).astype(np.float32))
+        q = jnp.asarray(rng.rand(r).astype(np.float32) * 50)
+        g_ref = jax.grad(lambda w_: jnp.sum(
+            jnp.sin(_row_shift(w_, q, out_w, False))))(wide)
+        sh = NamedSharding(mesh, P("data"))
+        g_sh = jax.jit(jax.grad(lambda w_: jnp.sum(jnp.sin(
+            _row_shift(w_, q, out_w, False, mesh)))))(
+                jax.device_put(wide, sh))
+        np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                                   atol=1e-5)
+
+    def test_train_step_twopass_on_mesh(self):
+        """Full smoke train step over the 8-device mesh with the twopass
+        ADA warp (jnp backend under shard_map)."""
+        import dataclasses
+        from pasta_tpu.train.config import smoke_config
+        from pasta_tpu.train.entry import make_mesh, replicate, shard_batch
+        from pasta_tpu.train.state import init_state, example_batch
+        from pasta_tpu.train.steps import make_train_step
+
+        cfg = dataclasses.replace(smoke_config(8), ada_impl="twopass",
+                                  augment_p_init=0.9)
+        mesh = make_mesh(8)
+        state = replicate(init_state(cfg, jax.random.PRNGKey(0)), mesh)
+        step = make_train_step(cfg, mesh=mesh)
+        batch = shard_batch(example_batch(cfg, np.random.RandomState(0)),
+                            mesh)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1),
+                              do_r1_d=True, do_r1_dp=True)
+        for k, val in metrics.items():
+            assert np.isfinite(float(val)), k
