@@ -378,9 +378,12 @@ def _warp_core_planar(xp, mat, use_pallas, mesh=None,
         # choose w0 so positions start slightly before the smallest need
         qraw = (beta[:, None] * lines[None, :] + off[:, None]) / alpha_s[:, None]
         qmin = jnp.min(qraw, axis=1)
-        w0 = (qmin - 2.0) * alpha            # source-pos offset of v=0
+        # alpha_s (not alpha) everywhere below: the window positions must
+        # invert the same (clamped) division as qraw, and B must use the
+        # same rate — alpha_s == alpha except in the degenerate guard.
+        w0 = (qmin - 2.0) * alpha_s          # source-pos offset of v=0
         q = qraw - (qmin - 2.0)[:, None]     # per-line window start, >=2
-        b = _resample_matrix(alpha, w0, jj, v_dim, dtype)
+        b = _resample_matrix(alpha_s, w0, jj, v_dim, dtype)
         wide = jnp.einsum("nclj,njv->nclv", xq, b, precision=precision)
         qrows = jnp.broadcast_to(q[:, None, :], (nn, cc, ll)).reshape(-1)
         r = qrows.shape[0]
