@@ -58,6 +58,10 @@ def parse_args(argv=None):
                    help="top-N G synthesis resolutions in bf16 compute")
     p.add_argument("--remat", type=lambda s: s == "True", default=True,
                    help="rematerialize synthesis blocks in backward")
+    p.add_argument("--ada-impl", default="auto",
+                   choices=["auto", "twopass", "gather"],
+                   help="ADA geometric warp: TPU-native two-pass or the "
+                        "bit-parity gather (auto: twopass on TPU)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="microbatch accumulation rounds per step")
     # Multi-host bootstrap (replaces the reference's file:// NCCL rendezvous,
@@ -107,6 +111,7 @@ def build_config(args):
         use_ada=args.aug != "noaug",
         augment_p_init=args.p if args.aug == "fixed" else 0.0,
         step_mode=args.step_mode,
+        ada_impl=args.ada_impl,
         d_num_bf16_res=args.d_bf16_res,
         g_num_bf16_res=args.g_bf16_res,
         remat=args.remat,
