@@ -18,6 +18,18 @@ import os
 import re
 
 
+def _strict_bool(s):
+    """Boolean flag parser that rejects unknown spellings (the reference
+    accepts e.g. --remat=true via click's BOOL; a lambda s=="True" would
+    silently read it as False)."""
+    low = str(s).strip().lower()
+    if low in ("true", "1", "yes", "y"):
+        return True
+    if low in ("false", "0", "no", "n"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {s!r}")
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--outdir", required=True)
@@ -33,7 +45,7 @@ def parse_args(argv=None):
     p.add_argument("--mask_weight", type=float, default=30.0)
     p.add_argument("--pl_weight", type=float, default=0.0)
     p.add_argument("--contextual_weight", type=float, default=0.0)
-    p.add_argument("--use_noise_const_branch", type=lambda s: s == "True",
+    p.add_argument("--use_noise_const_branch", type=_strict_bool,
                    default=True)
     p.add_argument("--aug", default="ada", choices=["ada", "noaug", "fixed"])
     p.add_argument("--p", type=float, default=0.0, help="fixed augment p")
@@ -56,8 +68,9 @@ def parse_args(argv=None):
                    help="top-N D resolutions in bf16 (reference ships 3)")
     p.add_argument("--g-bf16-res", type=int, default=0,
                    help="top-N G synthesis resolutions in bf16 compute")
-    p.add_argument("--remat", type=lambda s: s == "True", default=True,
-                   help="rematerialize synthesis blocks in backward")
+    p.add_argument("--remat", type=_strict_bool, default=True,
+                   help="rematerialize synthesis blocks in backward "
+                        "(True/False; default matches TrainConfig.remat)")
     p.add_argument("--ada-impl", default="auto",
                    choices=["auto", "twopass", "gather"],
                    help="ADA geometric warp: TPU-native two-pass or the "

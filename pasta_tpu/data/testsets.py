@@ -30,7 +30,12 @@ class TryonPairDataset:
         self.mode = mode
         self.use_sleeve_mask = use_sleeve_mask
         self.pairs = []
-        if os.path.isfile(pairs_txt):           # absolute/relative file path
+        # Prefer the entry inside the root; only treat pairs_txt as an
+        # external filesystem path when it is absolute or absent from the
+        # root (a same-named file in the CWD must not shadow the dataset's
+        # pairs list).
+        external = os.path.isabs(pairs_txt) or not self.root.exists(pairs_txt)
+        if external and os.path.isfile(pairs_txt):
             with open(pairs_txt, "r") as f:
                 text = f.read()
         else:                                   # entry inside the root

@@ -29,17 +29,32 @@ def _prepare_reference_import():
         torch.version.cuda = "0.0"  # reference import-time crash workaround
 
 
-def load_reference_pickle_generator(path, key="G_ema"):
-    """Load {G, D, G_ema, ...} snapshot; return flax variables for `key`."""
-    from .torch_import import import_generator_state, state_dict_to_numpy
-
+def _unpickle_snapshot(path):
+    """Unpickle a reference network snapshot (the persistence format:
+    training_loop_fullbody.py:721-736 writes {G, D, D_parsing, G_ema,
+    augment_pipe, training_set_kwargs}; each module's class re-executes its
+    embedded networks.py source on load, persistence.py:179-227)."""
     _prepare_reference_import()
     cwd = os.getcwd()
     os.chdir(REFERENCE_ROOT)
     try:
         with open(path, "rb") as f:
-            data = pickle.load(f)
+            return pickle.load(f)
     finally:
         os.chdir(cwd)
-    module = data[key]
+
+
+def load_reference_pickle_generator(path, key="G_ema"):
+    """Load {G, D, G_ema, ...} snapshot; return flax variables for `key`."""
+    from .torch_import import import_generator_state, state_dict_to_numpy
+
+    module = _unpickle_snapshot(path)[key]
     return import_generator_state(state_dict_to_numpy(module))
+
+
+def load_reference_pickle_discriminator(path, key="D"):
+    """Load a snapshot's discriminator ('D' or 'D_parsing') as flax vars."""
+    from .torch_import import import_discriminator_state, state_dict_to_numpy
+
+    module = _unpickle_snapshot(path)[key]
+    return import_discriminator_state(state_dict_to_numpy(module))

@@ -248,12 +248,12 @@ def _spmd_wrap(fn, mesh):
     one code path)."""
     if mesh is None or np.prod(list(mesh.shape.values())) <= 1:
         return fn
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec
 
     p = PartitionSpec(mesh.axis_names[0])
     return shard_map(fn, mesh=mesh, in_specs=(p, p, p, p), out_specs=p,
-                     check_rep=False)
+                     check_vma=False)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -390,8 +390,11 @@ def _warp_core_planar(xp, mat, use_pallas, mesh=None,
         pad_r = (-r) % _ROWS_PER_BLOCK
         widef = wide.reshape(r, v_dim)
         if pad_r:
+            # Edge-pad qrows (zero-padding would drag the shared 8-row
+            # block's kmin to 0 and clamp the real rows' tap offsets,
+            # corrupting the last block for non-8-aligned row counts).
             widef = jnp.pad(widef, ((0, pad_r), (0, 0)))
-            qrows = jnp.pad(qrows, (0, pad_r))
+            qrows = jnp.pad(qrows, (0, pad_r), mode="edge")
         out = _row_shift(widef, qrows, out_w, use_pallas, mesh)
         if pad_r:
             out = out[:r]

@@ -132,7 +132,7 @@ class TrainConfig:
     # (jax.checkpoint per block): cuts peak activation memory ~proportionally
     # to block count for ~1/3 more forward FLOPs. Required to fit the
     # monolithic 512px step in one v5e chip's 16G HBM.
-    remat: bool = False
+    remat: bool = True
 
     @property
     def batch_per_device(self):

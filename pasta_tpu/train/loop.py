@@ -339,7 +339,11 @@ def _training_loop_impl(
                 # sharded across processes).
                 _save_snapshot(cfg, state, batch if n_proc == 1 else None,
                                run_dir, step + 1)
-                if tryon_grid_k > 0:
+                # Multi-process: the tryon grid jits a chief-only forward
+                # over the globally-replicated EMA params, which would hang
+                # at the collective rendezvous — skip it (like the sample
+                # grid above).
+                if tryon_grid_k > 0 and n_proc == 1:
                     save_cross_pair_grid(
                         cfg, state, dataset.root, run_dir, step + 1,
                         k=tryon_grid_k, mode="thirds",

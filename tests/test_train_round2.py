@@ -124,7 +124,7 @@ class TestPrecisionAndRemat:
 
     @pytest.mark.slow
     def test_remat_matches_baseline_exactly(self):
-        cfg0 = _tiny_cfg()
+        cfg0 = _tiny_cfg(remat=False)
         cfg1 = _tiny_cfg(remat=True)
         state0 = init_state(cfg0, jax.random.PRNGKey(0))
         state1 = init_state(cfg1, jax.random.PRNGKey(0))
