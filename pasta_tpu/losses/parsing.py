@@ -24,6 +24,10 @@ def weighted_parsing_ce(logits, targets, ignore_index=255):
     valid = targets != ignore_index
     safe_targets = jnp.where(valid, targets, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
-    w = PARSING_CLASS_WEIGHTS[safe_targets] * valid.astype(logits.dtype)
+    # One-hot contractions instead of take_along_axis / fancy indexing:
+    # per-pixel gathers run at GB/s on TPU while these fuse into VPU ops.
+    onehot = jax.nn.one_hot(safe_targets, logits.shape[-1], dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
+    w = (onehot @ PARSING_CLASS_WEIGHTS.astype(logp.dtype)) \
+        * valid.astype(logits.dtype)
     return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-8)

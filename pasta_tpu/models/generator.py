@@ -85,9 +85,14 @@ class SynthesisNetwork(nn.Module):
 
         return encode
 
-    def _get_spade_feat(self, spade_encode, mask_512, denorm_mask, denorm_input):
+    def _get_spade_feat(self, spade_encode, mask_512, denorm_mask,
+                        denorm_input, enc_dtype=jnp.float32):
         """Encode denorm garment; fill predicted-but-not-covered region with
-        the masked average feature (networks.py:2253-2276)."""
+        the masked average feature (networks.py:2253-2276).
+
+        enc_dtype=bfloat16 runs the encoder convs in bf16 (the 7x7 3->64 and
+        64-ch resblocks at 512px are a large f32 share of the train step);
+        the valid-region statistics always accumulate in fp32."""
         dt = mask_512.dtype
         mask_512 = (mask_512 > 0.9).astype(dt)
         mask_256 = (_nearest_half(mask_512) > 0.9).astype(dt)
@@ -97,14 +102,18 @@ class SynthesisNetwork(nn.Module):
         res_mask = mask_256 - valid_mask
 
         denorm_input = denorm_input * mask_512 - (1 - mask_512)
-        feat = spade_encode(denorm_input)
-        valid_feat_sum = jnp.sum(feat * valid_mask, axis=(1, 2), keepdims=True)
-        valid_mask_sum = jnp.sum(valid_mask, axis=(1, 2), keepdims=True)
-        valid_index = (valid_mask_sum > 10).astype(dt)
+        feat = spade_encode(denorm_input.astype(enc_dtype))
+        valid_feat_sum = jnp.sum(
+            feat * valid_mask.astype(feat.dtype), axis=(1, 2), keepdims=True,
+            dtype=jnp.float32)
+        valid_mask_sum = jnp.sum(valid_mask, axis=(1, 2), keepdims=True,
+                                 dtype=jnp.float32)
+        valid_index = (valid_mask_sum > 10).astype(jnp.float32)
         num_px = feat.shape[1] * feat.shape[2]
         valid_mask_sum = valid_mask_sum * valid_index + num_px * (1 - valid_index)
-        avg_feat = valid_feat_sum / valid_mask_sum
-        return feat * (1 - res_mask) + avg_feat * res_mask
+        avg_feat = (valid_feat_sum / valid_mask_sum).astype(feat.dtype)
+        return feat * (1 - res_mask).astype(feat.dtype) \
+            + avg_feat * res_mask.astype(feat.dtype)
 
     @nn.compact
     def __call__(self, ws, pose_feat, cat_feat, denorm_upper_input,
@@ -178,12 +187,13 @@ class SynthesisNetwork(nn.Module):
         )
 
         spade_encode = self._make_spade_encoder()
+        enc_dtype = jnp.bfloat16 if self.num_bf16_res > 0 else jnp.float32
         spade_upper_feat = self._get_spade_feat(
             spade_encode, jax.lax.stop_gradient(upper_mask),
-            denorm_upper_mask, denorm_upper_input)
+            denorm_upper_mask, denorm_upper_input, enc_dtype=enc_dtype)
         spade_lower_feat = self._get_spade_feat(
             spade_encode, jax.lax.stop_gradient(lower_mask),
-            denorm_lower_mask, denorm_lower_input)
+            denorm_lower_mask, denorm_lower_input, enc_dtype=enc_dtype)
 
         upper_mask_256 = (_nearest_half(upper_mask) > 0.9).astype(jnp.float32)
         lower_mask_256 = (_nearest_half(lower_mask) > 0.9).astype(jnp.float32)
@@ -278,8 +288,12 @@ class Generator(nn.Module):
     def __call__(self, z, c, retain, pose, denorm_upper_input,
                  denorm_lower_input, denorm_upper_mask, denorm_lower_mask,
                  gt_parsing=None, truncation_psi=1.0, truncation_cutoff=None,
-                 update_w_avg=False, noise_mode="random"):
-        """Returns (coarse img, finetune img, pred_parsing), all NHWC.
+                 update_w_avg=False, noise_mode="random", return_code=False):
+        """Returns (coarse img, finetune img, pred_parsing), all NHWC;
+        with return_code=True also the style code (gen_c) as a 4th element —
+        the loss consumes it directly instead of re-running the style
+        encoder, like the reference's single style_encoding call per
+        accumulate_gradients (loss_fullbody.py:127-129).
 
         Args mirror GeneratorFull_v20.forward (networks.py:2353-2366):
             c:      [N, 45, 128, 128]-equivalent NHWC garment patch stack.
@@ -288,19 +302,42 @@ class Generator(nn.Module):
             denorm_{upper,lower}_input: [N, 512, 512, 3] pasted garments.
             denorm_{upper,lower}_mask:  [N, 512, 512, 1].
         """
-        pose_feat = self.const_encoding(pose)
-        stylecode, feats = self.style_encoding(c, retain)
+        pose_feat = self.encode_pose(pose)
+        stylecode, feats = self.encode_style(c, retain)
         ws = self.mapping(
             z, stylecode, truncation_psi=truncation_psi,
             truncation_cutoff=truncation_cutoff, update_w_avg=update_w_avg)
         cat_feats = {str(f.shape[1]): f for f in feats}
-        return self.synthesis(
+        img, finetune, pred_parsing = self.synthesis(
             ws, pose_feat, cat_feats, denorm_upper_input, denorm_lower_input,
             denorm_upper_mask, denorm_lower_mask, gt_parsing,
             noise_mode=noise_mode)
+        if return_code:
+            return img, finetune, pred_parsing, stylecode
+        return img, finetune, pred_parsing
+
+    @property
+    def _enc_dtype(self):
+        """Compute dtype for the conditioning encoders (pose/style/retain).
+
+        bf16 whenever the synthesis mixed-precision lever is on: these paths
+        are conditioning-only (the reference runs its D in fp16 at the same
+        resolutions) and their f32 convs at 512px are otherwise a large
+        fixed cost per forward."""
+        return jnp.bfloat16 if self.num_bf16_res > 0 else jnp.float32
+
+    def encode_pose(self, pose):
+        return self.const_encoding(pose.astype(self._enc_dtype))
+
+    def encode_style(self, c, retain):
+        """Style code (always returned fp32 — it feeds mapping/w) and the
+        cat_feat pyramid (encoder compute dtype)."""
+        stylecode, feats = self.style_encoding(
+            c.astype(self._enc_dtype), retain.astype(self._enc_dtype))
+        return stylecode.astype(jnp.float32), feats
 
     def style_and_ws(self, z, c, retain, truncation_psi=1.0):
         """Encoder+mapping half (used by the loss's run_G split)."""
-        stylecode, feats = self.style_encoding(c, retain)
+        stylecode, feats = self.encode_style(c, retain)
         ws = self.mapping(z, stylecode, truncation_psi=truncation_psi)
         return stylecode, feats, ws

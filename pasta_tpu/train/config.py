@@ -49,12 +49,13 @@ class TrainConfig:
     # a single chip; unbiased estimator of the same penalty — analogous to
     # the reference's pl_batch_shrink for its path-length reg).
     r1_batch_shrink: int = 1
-    # Decomposed mode only: when True, the parsing-D phase consumes a fresh
-    # generator draw with its own noise key (ks[7], matching the monolithic
-    # step and the reference's per-phase run_G); when False (default) it
-    # reuses the D phase's generator outputs, saving one 512px G forward per
-    # step — with use_noise=True the DP phase then sees different noise
-    # randomness than the monolithic step would.
+    # When True, every D/parsing-D phase consumes a fresh no-grad generator
+    # draw with its own noise key (the reference's per-phase run_G,
+    # loss_fullbody.py:227-231/278-283). When False (default), one shared
+    # no-grad G forward from the post-update G feeds the D and parsing-D
+    # phases (monolithic and decomposed modes) — saving 1-2 full 512px G
+    # forwards per step; with use_noise=True those phases then see one
+    # common noise draw instead of independent ones (same distribution).
     strict_phase_noise: bool = False
 
     @property

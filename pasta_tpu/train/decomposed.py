@@ -61,7 +61,10 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None, mesh=None):
         """G forward returning (img, finetune, parsing, style_code),
         new_buffers."""
         n = batch["real_img"].shape[0]
-        (img, ft, parsing), mut = g.apply(
+        # return_code=True: the style code comes from the same fused forward
+        # (one style-encoder pass; structurally identical to the monolithic
+        # step's _run_g so the two variants match bit-for-bit in tests).
+        (img, ft, parsing, code), mut = g.apply(
             {"params": g_params, "buffers": g_buffers},
             rngs={"noise": noise_key}, mutable=["buffers"],
             z=jnp.zeros((n, 0)), c=batch["style_input"],
@@ -70,11 +73,8 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None, mesh=None):
             denorm_lower_input=batch["denorm_lower_input"],
             denorm_upper_mask=batch["denorm_upper_mask"],
             denorm_lower_mask=batch["denorm_lower_mask"],
-            gt_parsing=batch["gt_parsing"], update_w_avg=True)
-        code = g.apply(
-            {"params": g_params, "buffers": g_buffers},
-            batch["style_input"], batch["retain"],
-            method=lambda m, c_, r_: m.style_encoding(c_, r_))[0]
+            gt_parsing=batch["gt_parsing"], update_w_avg=True,
+            return_code=True)
         return (img, ft, parsing, code), mut["buffers"]
 
     def _chunk_layout(n):

@@ -30,10 +30,14 @@ from .state import TrainState, make_models, make_optimizers
 
 
 def _run_g(g, g_params, g_buffers, batch, noise_key, update_w_avg=True):
-    """Generator forward incl. w_avg update (loss_fullbody.py run_G)."""
+    """Generator forward incl. w_avg update (loss_fullbody.py run_G).
+
+    Returns (img, finetune, pred_parsing, gen_c, buffers): the style code is
+    produced by the same forward (one style-encoder pass per loss
+    evaluation, like the reference's loss_fullbody.py:127-129)."""
     n = batch["real_img"].shape[0]
     variables = {"params": g_params, "buffers": g_buffers}
-    (img, finetune, pred_parsing), mutated = g.apply(
+    (img, finetune, pred_parsing, gen_c), mutated = g.apply(
         variables,
         rngs={"noise": noise_key},
         mutable=["buffers"],
@@ -47,17 +51,9 @@ def _run_g(g, g_params, g_buffers, batch, noise_key, update_w_avg=True):
         denorm_lower_mask=batch["denorm_lower_mask"],
         gt_parsing=batch["gt_parsing"],
         update_w_avg=update_w_avg,
+        return_code=True,
     )
-    return img, finetune, pred_parsing, mutated["buffers"]
-
-
-def _style_code(g, g_params, g_buffers, batch):
-    """real_c == gen_c == style-encoder code (loss_fullbody.py:127-129)."""
-    code, _feats = g.apply(
-        {"params": g_params, "buffers": g_buffers},
-        batch["style_input"], batch["retain"],
-        method=lambda m, c, r: m.style_encoding(c, r))
-    return code
+    return img, finetune, pred_parsing, gen_c, mutated["buffers"]
 
 
 def _d_in(img, pose, ada_p, aug_key, cfg, augment=True, mesh=None):
@@ -107,9 +103,8 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
         return _opt_cache["opts"]
 
     def g_loss_fn(g_params, state: TrainState, batch, keys):
-        img, finetune, pred_parsing, new_buffers = _run_g(
+        img, finetune, pred_parsing, gen_c, new_buffers = _run_g(
             g, g_params, state.g_buffers, batch, keys["noise"])
-        gen_c = _style_code(g, g_params, state.g_buffers, batch)
 
         d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg, mesh=mesh)
         d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg, mesh=mesh)
@@ -166,11 +161,17 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
         return loss, (new_buffers, metrics)
 
     def d_loss_fn(d_params, g_params, g_buffers, state, batch, keys, do_r1):
-        gen_c = _style_code(g, g_params, g_buffers, batch)
-        img, finetune, _, _ = _run_g(
-            g, g_params, g_buffers, batch, keys["noise"], update_w_avg=False)
-        img = jax.lax.stop_gradient(img)
-        finetune = jax.lax.stop_gradient(finetune)
+        if "fake_img" in batch:
+            # Shared no-grad fakes computed once per step (strict_phase_noise
+            # off): one generator forward feeds the D and parsing-D phases.
+            img, finetune, gen_c = (
+                batch["fake_img"], batch["fake_finetune"], batch["gen_c"])
+        else:
+            img, finetune, _, gen_c, _ = _run_g(
+                g, g_params, g_buffers, batch, keys["noise"],
+                update_w_avg=False)
+            img = jax.lax.stop_gradient(img)
+            finetune = jax.lax.stop_gradient(finetune)
 
         d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg, mesh=mesh)
         d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg, mesh=mesh)
@@ -208,11 +209,15 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
         return loss, metrics
 
     def dp_loss_fn(dp_params, g_params, g_buffers, state, batch, keys, do_r1):
-        gen_c = _style_code(g, g_params, g_buffers, batch)
-        _, _, pred_parsing, _ = _run_g(
-            g, g_params, g_buffers, batch, keys["noise"], update_w_avg=False)
-        parsing_soft = jax.lax.stop_gradient(
-            jax.nn.softmax(pred_parsing, axis=-1))
+        if "fake_parsing_soft" in batch:
+            parsing_soft = batch["fake_parsing_soft"]
+            gen_c = batch["gen_c"]
+        else:
+            _, _, pred_parsing, gen_c, _ = _run_g(
+                g, g_params, g_buffers, batch, keys["noise"],
+                update_w_avg=False)
+            parsing_soft = jax.lax.stop_gradient(
+                jax.nn.softmax(pred_parsing, axis=-1))
         pose_rgb = batch["pose"][..., 0:3]
         fake_in = jnp.concatenate([parsing_soft, pose_rgb], axis=-1)
         fake_logits = _dp_apply(dp_params, fake_in, gen_c)
@@ -258,8 +263,8 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
 
         def img_of_ws(w):
             def run_synthesis(m, w_):
-                pose_feat = m.const_encoding(sub["pose"])
-                _, feats = m.style_encoding(sub["style_input"], sub["retain"])
+                pose_feat = m.encode_pose(sub["pose"])
+                _, feats = m.encode_style(sub["style_input"], sub["retain"])
                 cat_feats = {str(f.shape[1]): f for f in feats}
                 img, _, _ = m.synthesis(
                     w_, pose_feat, cat_feats, sub["denorm_upper_input"],
@@ -376,11 +381,28 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
             state = state.replace(
                 g_params=g_params, g_opt=g_opt, pl_mean=new_pl_mean)
 
+        # --- shared fake forward (one no-grad G forward from the updated G
+        # feeds the D and parsing-D phases; strict_phase_noise=True restores
+        # the reference's fresh per-phase generator draws) ---
+        batch_d = batch
+        if not cfg.strict_phase_noise:
+            f_img, f_ft, f_pp, f_code, _ = _run_g(
+                g, state.g_params, state.g_buffers, batch, keys_d["noise"],
+                update_w_avg=False)
+            batch_d = dict(
+                batch,
+                fake_img=jax.lax.stop_gradient(f_img),
+                fake_finetune=jax.lax.stop_gradient(f_ft),
+                fake_parsing_soft=jax.lax.stop_gradient(
+                    jax.nn.softmax(f_pp, axis=-1)),
+                gen_c=jax.lax.stop_gradient(f_code),
+            )
+
         # --- D phase (sees updated G, like the reference phase order) ---
         (d_loss, d_metrics), d_grads = _accum_grad(
             lambda p, b, gp, gb, s_, r_, k_: d_loss_fn(
                 p, gp, gb, s_, b, k_, r_),
-            state.d_params, batch, state.g_params, state.g_buffers, state,
+            state.d_params, batch_d, state.g_params, state.g_buffers, state,
             do_r1_d, keys_d)
         if cfg.sanitize_grads:
             d_grads = jax.tree.map(
@@ -399,7 +421,7 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
             (dp_loss, dp_metrics), dp_grads = _accum_grad(
                 lambda p, b, gp, gb, s_, r_, k_: dp_loss_fn(
                     p, gp, gb, s_, b, k_, r_),
-                state.dp_params, batch, state.g_params, state.g_buffers,
+                state.dp_params, batch_d, state.g_params, state.g_buffers,
                 state, do_r1_dp, keys_dp)
             dp_updates, dp_opt = dp_opt_tx.update(
                 dp_grads, state.dp_opt, state.dp_params)
@@ -500,15 +522,14 @@ def _build_phase_fns(cfg: TrainConfig, vgg_params=None, mesh=None):
     # Rebuild the loss closures exactly as make_train_step does by calling
     # it once and borrowing its loss functions is not possible (they are
     # locals); the phase bodies below re-invoke the same module applies.
-    from .steps import _run_g, _style_code, _d_in, _gt_parsing_onehot  # self
+    from .steps import _run_g, _d_in, _gt_parsing_onehot  # self
     from ..losses.gan import g_nonsat_loss, d_logistic_loss
     from ..losses.parsing import weighted_parsing_ce
     from ..losses.vgg import vgg_loss
 
     def g_loss_fn(g_params, state, batch, keys):
-        img, finetune, pred_parsing, new_buffers = _run_g(
+        img, finetune, pred_parsing, gen_c, new_buffers = _run_g(
             g, g_params, state.g_buffers, batch, keys["noise"])
-        gen_c = _style_code(g, g_params, state.g_buffers, batch)
         d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg, mesh=mesh)
         d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg, mesh=mesh)
         gen_logits = d.apply({"params": state.d_params}, d_in, gen_c)
@@ -541,8 +562,7 @@ def _build_phase_fns(cfg: TrainConfig, vgg_params=None, mesh=None):
         return loss, (new_buffers, metrics)
 
     def d_loss_fn(d_params, state, batch, keys, do_r1):
-        gen_c = _style_code(g, state.g_params, state.g_buffers, batch)
-        img, finetune, _, _ = _run_g(
+        img, finetune, _, gen_c, _ = _run_g(
             g, state.g_params, state.g_buffers, batch, keys["noise"],
             update_w_avg=False)
         img = jax.lax.stop_gradient(img)
@@ -573,8 +593,7 @@ def _build_phase_fns(cfg: TrainConfig, vgg_params=None, mesh=None):
         return loss, metrics
 
     def dp_loss_fn(dp_params, state, batch, keys, do_r1):
-        gen_c = _style_code(g, state.g_params, state.g_buffers, batch)
-        _, _, pred_parsing, _ = _run_g(
+        _, _, pred_parsing, gen_c, _ = _run_g(
             g, state.g_params, state.g_buffers, batch, keys["noise"],
             update_w_avg=False)
         parsing_soft = jax.lax.stop_gradient(

@@ -11,6 +11,11 @@ import os
 import sys
 import time
 
+# tensorboard_plugin_profile ships pre-gencode _pb2 files that the installed
+# protobuf rejects under the C++ backend; the pure-python backend accepts
+# them (slower parse, fine for offline trace post-processing).
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
