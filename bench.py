@@ -80,64 +80,96 @@ def _host_throughput(num_workers=8, reps=3):
     return len(pairs) * reps / dt
 
 
+def _perturb(batch, acc):
+    """Mix a loop-carried zero into every float/uint8 array so XLA cannot
+    hoist the warp/cast stages out of the timing fori_loop as
+    loop-invariant (they are per-batch work in real serving)."""
+    out = {}
+    for k, v in batch.items():
+        if jnp.issubdtype(v.dtype, jnp.floating) or v.dtype == jnp.uint8:
+            out[k] = v + (acc * 0).astype(v.dtype)
+        else:
+            out[k] = v
+    return out
+
+
 def main():
     from pasta_tpu.models import Generator
-    from pasta_tpu.serving import assemble_inputs_device
+    from pasta_tpu.serving import assemble_inputs_device, ingest_device
 
     model = Generator()
     use_fixtures = os.path.isdir(FIXTURES)
 
+    # NOTE: over the axon tunnel block_until_ready does not synchronize —
+    # loop on-device and fetch one scalar so timing covers N_ITERS programs.
+    def timed_loop(fn, *args):
+        @jax.jit
+        def loop(*args):
+            def body(i, acc):
+                return acc + fn(acc, *args)
+
+            return jax.lax.fori_loop(0, N_ITERS, body, 0.0)
+
+        float(loop(*args))  # warmup/compile
+        t0 = time.perf_counter()
+        float(loop(*args))
+        return (time.perf_counter() - t0) / N_ITERS
+
     if use_fixtures:
         host_batch, tiled = _fixture_host_batch()
+        metric = "tryon_512px_serving_throughput"
 
-        def single(variables, host_batch):
-            inputs = assemble_inputs_device(host_batch, "upper", tiled=tiled)
+        def ingest_body(acc, hb):
+            out = ingest_device(_perturb(hb, acc))
+            return sum(v.ravel()[0] for v in out.values()
+                       if v.dtype == jnp.float32)
+
+        f32_batch = jax.block_until_ready(ingest_device(host_batch))
+
+        def main_body(acc, fb):
+            inputs = assemble_inputs_device(
+                _perturb(fb, acc), "upper", tiled=tiled)
             img, finetune, parsing = model.apply(
                 variables, noise_mode="const", **inputs)
-            return finetune
+            return jnp.mean(finetune)
 
-        example_args = (host_batch,)
-        metric = "tryon_512px_serving_throughput"
+        variables = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            **assemble_inputs_device(f32_batch, "upper"))
+
+        # Stage-split like production (serving.TryonPipeline.run_batch):
+        # uint8 ingest program + warp/forward program; each loop carries a
+        # data dependence on every array so per-batch work cannot hoist.
+        t_ingest = timed_loop(ingest_body, host_batch)
+        t_main = timed_loop(main_body, f32_batch)
+        dt_item = t_ingest + t_main
+        components = {"ingest_ms": round(t_ingest * 1e3, 2),
+                      "warp_forward_ms": round(t_main * 1e3, 2)}
     else:
         import __graft_entry__ as ge
 
         inputs = ge._example_inputs(BATCH, 512)
-
-        def single(variables, inputs):
-            img, finetune, parsing = model.apply(
-                variables, noise_mode="const", **inputs)
-            return finetune
-
-        example_args = (inputs,)
         metric = "tryon_512px_inference_throughput"
 
-    init_inputs = (
-        assemble_inputs_device(example_args[0], "upper") if use_fixtures
-        else example_args[0])
-    variables = jax.jit(model.init)(
-        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-        **init_inputs)
+        variables = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            **inputs)
 
-    # NOTE: over the axon tunnel block_until_ready does not synchronize —
-    # loop on-device and fetch one scalar so timing covers N_ITERS programs.
-    @jax.jit
-    def loop(variables, args):
-        def body(i, acc):
-            return acc + jnp.mean(single(variables, *args))
+        def fwd_body(acc, inp):
+            img, finetune, parsing = model.apply(
+                variables, noise_mode="const", **_perturb(inp, acc))
+            return jnp.mean(finetune)
 
-        return jax.lax.fori_loop(0, N_ITERS, body, 0.0)
+        dt_item = timed_loop(fwd_body, inputs)
+        components = {}
 
-    float(loop(variables, example_args))  # warmup/compile
-    t0 = time.perf_counter()
-    float(loop(variables, example_args))
-    dt = time.perf_counter() - t0
-
-    device_ips = BATCH * N_ITERS / dt
+    device_ips = BATCH / dt_item
     record = {
         "metric": metric,
         "value": round(device_ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(device_ips / BASELINE_IMAGES_PER_SEC, 3),
+        **components,
     }
     if use_fixtures:
         # The chip-side number is the headline (the 64 img/s/chip target is

@@ -88,12 +88,14 @@ def parse_args(argv=None):
     # In-training metric evaluation (reference --metrics, train.py:477-484 +
     # the snapshot-time metric hook, training_loop_fullbody.py:738-748).
     p.add_argument("--metrics", default="none",
-                   help="comma-separated in-training metrics (fid,kid) "
-                        "or 'none'")
+                   help="comma-separated in-training metrics "
+                        "(fid,kid,fid_tryon) or 'none'; evaluated on a "
+                        "held-out set excluded from training")
     p.add_argument("--metric-ticks", type=int, default=10,
                    help="evaluate metrics every N ticks")
     p.add_argument("--metric-items", type=int, default=64,
-                   help="held-out reconstruction set size for metrics")
+                   help="held-out set size for metrics (these items are "
+                        "excluded from the training sampler)")
     p.add_argument("--inception", default=None,
                    help="inception detector weights (.pth/.npz) for metrics")
     p.add_argument("--tryon-grid", type=int, default=0, metavar="K",

@@ -147,9 +147,9 @@ def _fill_quad(quad_xy, shape):
     return mask
 
 
-def _rectangle_mask(a, b, c, d, img_h, img_w):
-    """Oriented rectangle around the segment (a,b)->(c,d), reference
-    get_rectangle_mask (dataset.py:705-729). Returns {0,255} float mask."""
+def _rectangle_quad(a, b, c, d):
+    """Oriented rectangle corners around the segment (a,b)->(c,d), reference
+    get_rectangle_mask (dataset.py:705-729) corner/winding selection."""
     x1, y1 = a + (b - d) / 4, b + (c - a) / 4
     x2, y2 = a - (b - d) / 4, b - (c - a) / 4
     x3, y3 = c + (b - d) / 4, d + (c - a) / 4
@@ -164,41 +164,48 @@ def _rectangle_mask(a, b, c, d, img_h, img_w):
         return float(u @ v / den) if den > 0 else 0.0
 
     if _cos(v0, v1) < _cos(v0, v2):
-        quad = np.array([[x1, y1], [x2, y2], [x3, y3], [x4, y4]], np.float64)
-    else:
-        quad = np.array([[x1, y1], [x2, y2], [x4, y4], [x3, y3]], np.float64)
-    return _fill_quad(quad, (img_h, img_w)) * 255.0
+        return np.array([[x1, y1], [x2, y2], [x3, y3], [x4, y4]], np.float64)
+    return np.array([[x1, y1], [x2, y2], [x4, y4], [x3, y3]], np.float64)
 
 
-def _hand_region_masks(hand_keypoints, img_h=512, img_w=512):
-    """(upper-arm mask, forearm mask) from shoulder/elbow/wrist keypoints.
+def _dilated_rect_mask(a, b, c, d, img_h, img_w, k):
+    """Bool mask of the dilated (k x k ones) oriented rectangle.
 
-    Reference get_hand_mask (dataset.py:732-751): dilate 35x35 / 28x28.
-    """
-    s_x, s_y, s_c = hand_keypoints[0]
-    e_x, e_y, e_c = hand_keypoints[1]
-    w_x, w_y, w_c = hand_keypoints[2]
-    up_mask = np.ones((img_h, img_w, 1), np.float32)
-    bottom_mask = np.ones((img_h, img_w, 1), np.float32)
-    if s_c > 0.1 and e_c > 0.1:
-        up_mask = _rectangle_mask(s_x, s_y, e_x, e_y, img_h, img_w)
-        up_mask = cv2.dilate(up_mask, np.ones((35, 35), np.uint8), iterations=1)
-        up_mask = (up_mask > 0).astype(np.float32)[..., np.newaxis]
-    if e_c > 0.1 and w_c > 0.1:
-        bottom_mask = _rectangle_mask(e_x, e_y, w_x, w_y, img_h, img_w)
-        bottom_mask = cv2.dilate(bottom_mask, np.ones((28, 28), np.uint8),
-                                 iterations=1)
-        bottom_mask = (bottom_mask > 0).astype(np.float32)[..., np.newaxis]
-    return up_mask, bottom_mask
+    Equivalent to the reference's full-canvas rasterize + cv2.dilate
+    (dataset.py:732-751) but computed only inside the rectangle's padded
+    bounding box — the canvas outside is identically zero, so dilation
+    cannot reach past bbox + k//2."""
+    quad = _rectangle_quad(a, b, c, d)
+    pad = k  # k//2 margin on each side would do; k is safely larger
+    c0 = max(int(np.floor(quad[:, 0].min())) - pad, 0)
+    c1 = min(int(np.ceil(quad[:, 0].max())) + 1 + pad, img_w)
+    r0 = max(int(np.floor(quad[:, 1].min())) - pad, 0)
+    r1 = min(int(np.ceil(quad[:, 1].max())) + 1 + pad, img_h)
+    out = np.zeros((img_h, img_w), bool)
+    if r0 >= r1 or c0 >= c1:
+        return out
+    local = _fill_quad(quad - np.array([[c0, r0]], np.float64),
+                       (r1 - r0, c1 - c0))[..., 0]
+    roi = cv2.dilate((local > 0).astype(np.uint8),
+                     np.ones((k, k), np.uint8), iterations=1)
+    out[r0:r1, c0:c1] = roi > 0
+    return out
 
 
-def _palm_from_hand(hand_mask, up_mask, bottom_mask):
-    """hand parsing minus arm regions (reference get_palm_mask,
-    dataset.py:753-759)."""
-    inter_up = ((hand_mask + up_mask) == 2).astype(np.float32)
-    hand_mask = hand_mask - inter_up
-    inter_bottom = ((hand_mask + bottom_mask) == 2).astype(np.float32)
-    return hand_mask - inter_bottom
+def _palm_side(keypoints3, hand_bool, img_h, img_w):
+    """Palm pixels for one side: hand parsing minus the dilated upper-arm
+    and forearm rectangles (reference get_hand_mask + get_palm_mask,
+    dataset.py:732-759). Missing shoulder/elbow (resp. elbow/wrist)
+    confidence means the reference's all-ones region swallows the whole
+    hand -> empty palm."""
+    s_x, s_y, s_c = keypoints3[0]
+    e_x, e_y, e_c = keypoints3[1]
+    w_x, w_y, w_c = keypoints3[2]
+    if not (s_c > 0.1 and e_c > 0.1) or not (e_c > 0.1 and w_c > 0.1):
+        return np.zeros((img_h, img_w), bool)
+    up = _dilated_rect_mask(s_x, s_y, e_x, e_y, img_h, img_w, 35)
+    bottom = _dilated_rect_mask(e_x, e_y, w_x, w_y, img_h, img_w, 28)
+    return hand_bool & ~up & ~bottom
 
 
 def get_palm_mask(keypoints, parsing):
@@ -213,12 +220,8 @@ def get_palm_mask(keypoints, parsing):
     Returns:
         [H, W, 1] uint8 mask.
     """
-    left_kps = keypoints[[5, 6, 7], :].copy()
-    right_kps = keypoints[[2, 3, 4], :].copy()
-    l_up, l_bottom = _hand_region_masks(left_kps)
-    r_up, r_bottom = _hand_region_masks(right_kps)
-    left_hand = (parsing == 14).astype(np.float32)
-    right_hand = (parsing == 15).astype(np.float32)
-    left_palm = _palm_from_hand(left_hand, l_up, l_bottom)
-    right_palm = _palm_from_hand(right_hand, r_up, r_bottom)
-    return ((left_palm + right_palm) > 0).astype(np.uint8)
+    img_h, img_w = parsing.shape[:2]
+    p2 = parsing[..., 0]
+    left = _palm_side(keypoints[[5, 6, 7], :], p2 == 14, img_h, img_w)
+    right = _palm_side(keypoints[[2, 3, 4], :], p2 == 15, img_h, img_w)
+    return (left | right).astype(np.uint8)[..., None]

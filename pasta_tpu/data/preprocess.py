@@ -136,19 +136,24 @@ def sleeve_mask_from(record):
     return ((gp == 10).astype(np.uint8) + (gp == 11).astype(np.uint8))
 
 
-def skin_average_map(image, parsing):
-    """Per-channel median of neck+face skin, broadcast to [H, W, 3]
-    (dataset.py:2062-2077)."""
+def skin_median_color(image, parsing):
+    """[3] per-channel median of neck+face skin pixels (dataset.py:2062-2077)."""
     skin_mask = np.squeeze((parsing == 10) | (parsing == 13))
     skin = image[skin_mask]                       # [K, 3]
     meds = []
     for ch in range(3):
         valid = skin[:, ch][skin[:, ch] > 0]
         meds.append(np.median(valid) if valid.size else 0.0)
+    return np.asarray(meds, np.float64)
+
+
+def skin_average_map(image, parsing):
+    """Per-channel median of neck+face skin, broadcast to [H, W, 3]
+    (dataset.py:2062-2077)."""
     # broadcast view — callers treat it as read-only; the raw-batch path
     # reduces it back to the [3] color anyway
     return np.broadcast_to(
-        np.asarray(meds, np.float64), image.shape[:2] + (3,))
+        skin_median_color(image, parsing), image.shape[:2] + (3,))
 
 
 def retain_mask_of(record):

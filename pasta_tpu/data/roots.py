@@ -79,10 +79,22 @@ class DataRoot:
         return io.BytesIO(self.read(rel))
 
     def decode_image(self, rel: str) -> np.ndarray:
-        """Decode an image entry to an RGB/gray uint8 array (PIL)."""
+        """Decode an image entry to an RGB/gray uint8 array.
+
+        Uses the native libjpeg/libpng plugin when available (PIL-matching
+        semantics incl. palette-index planes; decodes with the GIL released),
+        PIL otherwise."""
+        from .. import native
+
+        data = self.read(rel)
+        if native.available():
+            try:
+                return native.decode_image(data)
+            except ValueError:
+                pass  # exotic format: PIL fallback
         import PIL.Image
 
-        return np.array(PIL.Image.open(self.open(rel)))
+        return np.array(PIL.Image.open(io.BytesIO(data)))
 
     def decode_cv2(self, rel: str, flags=None) -> np.ndarray:
         """cv2.imread-equivalent decode (BGR, palette-expanded)."""

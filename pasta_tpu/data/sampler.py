@@ -15,11 +15,15 @@ import numpy as np
 
 
 def infinite_sampler(dataset_size, rank=0, num_replicas=1, shuffle=True,
-                     seed=0, window_size=0.5):
-    """Yields dataset indices forever; rank-strided and window-shuffled."""
-    assert dataset_size > 0
+                     seed=0, window_size=0.5, skip_first=0):
+    """Yields dataset indices forever; rank-strided and window-shuffled.
+
+    skip_first > 0 excludes indices [0, skip_first) from the stream — the
+    in-training evaluator holds those items out (train/loop.py
+    TrainingEvaluator), so they are never trained on."""
+    assert dataset_size - skip_first > 0
     assert 0 <= rank < num_replicas
-    order = np.arange(dataset_size)
+    order = np.arange(skip_first, dataset_size)
     rnd = None
     window = 0
     if shuffle:

@@ -205,11 +205,13 @@ class SynthesisNetwork(nn.Module):
         spade_dtype = jnp.bfloat16 if res_256 >= bf16_res else jnp.float32
         x_spade = spade_cls(
             channels[res_256], channels[res_256], spade_channels=128,
-            conv_clamp=self.conv_clamp, name="spade_b256_1")(
+            conv_clamp=self.conv_clamp, inner_remat=self.remat,
+            name="spade_b256_1")(
                 x_256.astype(spade_dtype), spade_feat.astype(spade_dtype))
         x_spade = spade_cls(
             channels[res_256], channels[res_256], spade_channels=128,
-            conv_clamp=self.conv_clamp, name="spade_b256_2")(
+            conv_clamp=self.conv_clamp, inner_remat=self.remat,
+            name="spade_b256_2")(
                 x_spade, spade_feat.astype(spade_dtype))
 
         res_512 = resolutions[-1]
@@ -220,6 +222,7 @@ class SynthesisNetwork(nn.Module):
             is_last=True,
             is_style=False,
             use_bf16=(res_512 >= bf16_res),
+            inner_remat=self.remat,
             name="texture_b512",
             **block_common,
         )

@@ -1,4 +1,5 @@
-// Native host preprocessing kernels: batched perspective warp + erosion.
+// Native host preprocessing kernels: batched perspective warp + erosion +
+// JPEG/PNG decode.
 //
 // C++ counterpart of the reference's native layer (its CUDA plugins become
 // Pallas/XLA on TPU; the host data path gets this threaded C++ library).
@@ -6,17 +7,25 @@
 //   warpPerspective — bilinear, BORDER_CONSTANT(0), dst->src inverse mapping,
 //       round-to-nearest on uint8 stores.
 //   erode (k x k ones) — separable window minimum, +inf border.
+// Decode semantics match PIL's np.array(Image.open(...)) for the formats the
+// datasets use: JPEG -> RGB/gray u8, PNG -> gray/palette-index/RGB/RGBA u8
+// (palette PNGs — the parsing sidecars — yield the INDEX plane, not
+// expanded colors, exactly like PIL 'P' mode; 16-bit PNGs are stripped).
 //
 // Exposed as a plain C ABI for ctypes; threading via std::thread (no GIL).
 
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+#include <csetjmp>
 #include <cstdint>
 #include <cstring>
 #include <functional>
 #include <thread>
 #include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
 
 namespace {
 
@@ -121,9 +130,164 @@ void parallel_for(int n, int num_threads,
   for (auto& th : threads) th.join();
 }
 
+// ---------------------------------------------------------------------------
+// Image decode (libjpeg / libpng).
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jb, 1);
+}
+
+// Decodes JPEG bytes. Returns 0 on success, fills h/w/c, writes h*w*c bytes
+// into dst (caller guarantees cap). If dst is null, probes dims only.
+int decode_jpeg(const uint8_t* data, size_t size, uint8_t* dst, size_t cap,
+                int* h, int* w, int* c) {
+  jpeg_decompress_struct cinfo;
+  JpegErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+               static_cast<unsigned long>(size));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  // PIL decodes CMYK jpegs too, but the datasets have none; grayscale and
+  // YCbCr->RGB cover UPT/DeepFashion/Zalando inputs.
+  cinfo.out_color_space =
+      cinfo.jpeg_color_space == JCS_GRAYSCALE ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_calc_output_dimensions(&cinfo);
+  *h = static_cast<int>(cinfo.output_height);
+  *w = static_cast<int>(cinfo.output_width);
+  *c = cinfo.out_color_space == JCS_GRAYSCALE ? 1 : 3;
+  if (dst == nullptr) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  const size_t row_bytes = static_cast<size_t>(*w) * *c;
+  if (row_bytes * *h > cap) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  jpeg_start_decompress(&cinfo);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = dst + row_bytes * cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+struct PngReadState {
+  const uint8_t* data;
+  size_t size;
+  size_t pos;
+};
+
+void png_read_fn(png_structp png, png_bytep out, png_size_t n) {
+  auto* s = reinterpret_cast<PngReadState*>(png_get_io_ptr(png));
+  if (s->pos + n > s->size) {
+    png_error(png, "eof");
+    return;
+  }
+  std::memcpy(out, s->data + s->pos, n);
+  s->pos += n;
+}
+
+// Decodes PNG bytes with PIL-matching channel semantics (see header note).
+int decode_png(const uint8_t* data, size_t size, uint8_t* dst, size_t cap,
+               int* h, int* w, int* c) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return 1;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return 1;
+  }
+  std::vector<png_bytep> rows;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 1;
+  }
+  PngReadState state{data, size, 0};
+  png_set_read_fn(png, &state, png_read_fn);
+  png_read_info(png, info);
+
+  const png_byte color = png_get_color_type(png, info);
+  if (png_get_bit_depth(png, info) == 16) png_set_strip_16(png);
+  if (color != PNG_COLOR_TYPE_PALETTE && png_get_bit_depth(png, info) < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (color == PNG_COLOR_TYPE_PALETTE)
+    png_set_packing(png);  // 1/2/4-bit palette indices -> one byte each
+  png_read_update_info(png, info);
+
+  *h = static_cast<int>(png_get_image_height(png, info));
+  *w = static_cast<int>(png_get_image_width(png, info));
+  *c = static_cast<int>(png_get_channels(png, info));
+  if (dst == nullptr) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 0;
+  }
+  const size_t row_bytes = png_get_rowbytes(png, info);
+  if (row_bytes * *h > cap ||
+      row_bytes != static_cast<size_t>(*w) * *c) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 2;
+  }
+  rows.resize(*h);
+  for (int y = 0; y < *h; ++y) rows[y] = dst + row_bytes * y;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
+int decode_any(const uint8_t* data, long size, uint8_t* dst, long cap,
+               int* h, int* w, int* c) {
+  if (size >= 8 && std::memcmp(data, "\x89PNG\r\n\x1a\n", 8) == 0)
+    return decode_png(data, static_cast<size_t>(size), dst,
+                      static_cast<size_t>(cap), h, w, c);
+  if (size >= 2 && data[0] == 0xFF && data[1] == 0xD8)
+    return decode_jpeg(data, static_cast<size_t>(size), dst,
+                       static_cast<size_t>(cap), h, w, c);
+  return 3;  // unknown format
+}
+
 }  // namespace
 
 extern "C" {
+
+// Decode one JPEG/PNG (format sniffed). dst==nullptr probes h/w/c only.
+// Returns 0 ok, 1 decode error, 2 buffer too small, 3 unknown format.
+int pasta_decode_image(const uint8_t* data, long size, uint8_t* dst, long cap,
+                       int* h, int* w, int* c) {
+  return decode_any(data, size, dst, cap, h, w, c);
+}
+
+// Threaded batch decode of n images with shared output geometry: every
+// image must decode to exactly [h, w, c] (the datasets' fixed-size inputs);
+// dst is [n, h, w, c]. rc[i] = per-image status (0 ok; 4 = dims mismatch).
+void pasta_decode_batch(const uint8_t* const* datas, const long* sizes, int n,
+                        uint8_t* dst, int h, int w, int c, int* rc,
+                        int num_threads) {
+  const size_t stride = static_cast<size_t>(h) * w * c;
+  parallel_for(n, num_threads, [&](int, int i) {
+    int ih = 0, iw = 0, ic = 0;
+    rc[i] = decode_any(datas[i], sizes[i], dst + stride * i,
+                       static_cast<long>(stride), &ih, &iw, &ic);
+    if (rc[i] == 0 && (ih != h || iw != w || ic != c)) rc[i] = 4;
+  });
+}
 
 // Batched warp: n jobs; src [n, sh, sw, c] u8, matrices [n, 9] f64
 // (dst->src), dst [n, dh, dw, c] u8.
@@ -151,6 +315,6 @@ void pasta_erode_batch(const uint8_t* src, int n, int h, int w, int k,
   });
 }
 
-int pasta_native_version() { return 1; }
+int pasta_native_version() { return 2; }
 
 }  // extern "C"

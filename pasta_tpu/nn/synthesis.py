@@ -224,6 +224,11 @@ class SpadeResBlock(nn.Module):
     spade_channels: int
     conv_clamp: Optional[float] = None
     resample_filter: Sequence[int] = (1, 3, 3, 1)
+    # Rematerialize each SPADE normalization in the backward. At 512px the
+    # three SpadeNormBlocks hold ~9 full-res intermediates (mlp/gamma/beta
+    # per norm) live at once during the block's transpose — the dominant
+    # term of the batch-16 OOM; inner remat trades them for recompute.
+    inner_remat: bool = False
 
     @nn.compact
     def __call__(self, x, denorm_feat):
@@ -238,9 +243,11 @@ class SpadeResBlock(nn.Module):
             self.out_channels, self.out_channels, kernel_size=3, name="conv1", **common)
         skip = SpadeConv2dLayer(
             self.in_channels, self.out_channels, kernel_size=1, name="skip", **common)
-        spade_skip = SpadeNormBlock(self.spade_channels, self.in_channels, name="spade_skip")
-        spade0 = SpadeNormBlock(self.spade_channels, self.in_channels, name="spade0")
-        spade1 = SpadeNormBlock(self.spade_channels, self.out_channels, name="spade1")
+        norm_cls = nn.remat(SpadeNormBlock) if self.inner_remat \
+            else SpadeNormBlock
+        spade_skip = norm_cls(self.spade_channels, self.in_channels, name="spade_skip")
+        spade0 = norm_cls(self.spade_channels, self.in_channels, name="spade0")
+        spade1 = norm_cls(self.spade_channels, self.out_channels, name="spade1")
 
         x = conv(x, no_act=True)
         y = skip(spade_skip(x, denorm_feat), gain=math.sqrt(0.5))
@@ -269,6 +276,8 @@ class _SynthesisBlockBase(nn.Module):
     conv_clamp: Optional[float] = None
     use_noise: bool = True
     use_bf16: bool = False
+    inner_remat: bool = False   # texture block: remat SPADE norms (see
+                                # SpadeResBlock.inner_remat)
 
     @property
     def _dtype(self):
@@ -349,7 +358,8 @@ class SynthesisBlockTexture(_SynthesisBlockBase):
         x, w_idx = self._main(x, ws, pose_feature, cat_feat, noise_mode)
         spade_b512 = SpadeResBlock(
             self.out_channels, self.out_channels, spade_channels=1,
-            conv_clamp=self.conv_clamp, name="spade_b512")
+            conv_clamp=self.conv_clamp, inner_remat=self.inner_remat,
+            name="spade_b512")
         x = spade_b512(x, parsing.astype(x.dtype))
         img, pred_parsing = self._torgb(x, img, ws, w_idx)
         return x, img, pred_parsing

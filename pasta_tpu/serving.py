@@ -106,30 +106,36 @@ def host_prepare(person, clothes, mode, use_sleeve_mask=True):
             clothes_cls["pants"], clothes_cls["skirt"], clothes_cls["dresses"])
     if dress_transfer:
         pants, skirt = pants * 0, skirt * 0
-    label = np.ones_like(lower_mask)
     if pants.sum() > 0:
-        label = label * 0
+        cls = 0
     elif skirt.sum() > 0:
-        label = label * 1
+        cls = 1
     elif dress.sum() > 0:
-        label = label * 2
-    label = label / 2.0 * 255
+        cls = 2
+    else:
+        cls = 1
+    # the {0, 1/2, 1}*255 lower_label_map is reconstructed on device
+    label_cls = np.full_like(lower_mask, cls, np.uint8)
 
+    # Everything big ships as uint8 (4x less host work + transfer than f32;
+    # the device program casts — assemble_inputs_device). skin is the [3]
+    # median color, broadcast on device instead of materializing a
+    # [H, W, 3] map per item on host.
     return dict(
-        upper_img=(upper_mask * upper_src.image).astype(np.float32),
-        lower_img=(lower_mask * lower_src.image).astype(np.float32),
-        upper_mask=(upper_mask.astype(np.float32) * 255),
-        lower_mask=(lower_mask.astype(np.float32) * 255),
+        upper_img=upper_mask * upper_src.image,                     # u8
+        lower_img=lower_mask * lower_src.image,                     # u8
+        upper_mask=upper_mask * np.uint8(255),                      # u8
+        lower_mask=lower_mask * np.uint8(255),                      # u8
         sleeve=(sleeve if sleeve is not None
-                else np.zeros_like(upper_mask)).astype(np.float32),
+                else np.zeros_like(upper_mask)),                    # u8 {0,1}
         upper_cut_m=mu, lower_cut_m=ml, paste_m_inv=pinv, part_valid=valid,
-        image=person.image.astype(np.float32),
-        pose=person.pose_img.astype(np.float32),
-        retain_mask=pp.retain_mask_of(person).astype(np.float32),
-        skin=pp.skin_average_map(person.image, person.parsing).astype(
-            np.float32),
-        label=label.astype(np.float32),
-        bound=bound.astype(np.float32),
+        image=person.image,                                         # u8
+        pose=person.pose_img,                                       # u8
+        retain_mask=pp.retain_mask_of(person),                      # u8 {0,1}
+        skin_color=np.asarray(
+            pp.skin_median_color(person.image, person.parsing), np.float32),
+        label_cls=label_cls,                                        # u8 {0,1,2}
+        bound=bound.astype(np.uint8),                               # u8 {0,255}
         tile_offsets=tile_offsets.astype(np.int32),
         tiles_fit=np.asarray(tiles_fit),
         dress_transfer=np.asarray(
@@ -188,13 +194,46 @@ def _zero_conflicts(norm):
     return norm
 
 
+_INGEST_F32_KEYS = ("upper_img", "lower_img", "upper_mask", "lower_mask",
+                    "sleeve", "image", "pose", "retain_mask", "bound")
+
+
+@jax.jit
+def ingest_device(host: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Stage-1 device program: uint8 host arrays -> f32 model inputs.
+
+    Runs as its OWN jit so the f32 outputs land in default layouts at the
+    program boundary. Folding these casts into the main serving program lets
+    XLA's layout assignment propagate transposed layouts into the paste/cut
+    warp gathers (gather output row index in the lane dim), measured 91 ms
+    vs ~1.5 ms per paste gather — 240 -> 144 img/s end to end. The cast
+    traffic itself is ~0.1 GB/batch, microseconds.
+    """
+    out = dict(host)
+    for k in _INGEST_F32_KEYS:
+        out[k] = host[k].astype(jnp.float32)
+    # lower_label_map in {0, 1/2, 1} * 255 from the {0,1,2} class plane
+    out["label"] = host["label_cls"].astype(jnp.float32) * 127.5
+    out.pop("label_cls")
+    return out
+
+
 def assemble_inputs_device(host: Dict[str, jnp.ndarray], mode: str,
                            tiled: bool = False):
     """Device: warps + assembly -> generator input dict. Jit-traceable.
 
     tiled=True uses the fixed-tile paste path (4x less gather work); callers
     must have verified host["tiles_fit"] for every batch item.
+
+    Accepts either the raw uint8 host_prepare batch or the output of
+    ingest_device (casts below are identities then). Production callers
+    should ingest first — see ingest_device's layout note.
     """
+    host = dict(host)
+    for k in _INGEST_F32_KEYS:
+        host[k] = host[k].astype(jnp.float32)
+    if "label" not in host:
+        host["label"] = host["label_cls"].astype(jnp.float32) * 127.5
     erode_k = 8 if mode == "upper" else 5
     if tiled:
         norm = normalize_patches_device_tiled(
@@ -238,12 +277,14 @@ def assemble_inputs_device(host: Dict[str, jnp.ndarray], mode: str,
     image = norm01(host["image"])
     retain = image * host["retain_mask"] - (1 - host["retain_mask"])
     n = image.shape[0]
+    skin = jnp.broadcast_to(
+        norm01(host["skin_color"])[:, None, None, :], image.shape)
     return dict(
         z=jnp.zeros((n, 0)),
         c=jnp.concatenate(
             [norm01(norm["norm_img"]), norm01(norm["norm_img_lower"])],
             axis=-1),
-        retain=jnp.concatenate([retain, norm01(host["skin"])], axis=-1),
+        retain=jnp.concatenate([retain, skin], axis=-1),
         pose=jnp.concatenate(
             [norm01(host["pose"]), norm01(host["label"]),
              norm01(bound)], axis=-1),
@@ -288,4 +329,6 @@ class TryonPipeline:
             k: jnp.asarray(np.stack([it[k] for it in host_items]))
             for k in host_items[0] if k != "tiles_fit"
         }
-        return self._run(self.variables, batch, tiled=tiled)
+        # two-stage: uint8 transfer + boundary-pinning cast program, then
+        # the main warp+forward program (see ingest_device).
+        return self._run(self.variables, ingest_device(batch), tiled=tiled)

@@ -52,14 +52,16 @@ class ParallelLoader:
     """
 
     def __init__(self, dataset, batch_size, num_workers=8, seed=0,
-                 rank=0, num_replicas=1, shuffle=True, window_size=0.5):
+                 rank=0, num_replicas=1, shuffle=True, window_size=0.5,
+                 holdout=0):
         from ..data.sampler import infinite_sampler
 
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = infinite_sampler(
             len(dataset), rank=rank, num_replicas=num_replicas,
-            shuffle=shuffle, seed=seed, window_size=window_size)
+            shuffle=shuffle, seed=seed, window_size=window_size,
+            skip_first=holdout)
         self.pool = concurrent.futures.ThreadPoolExecutor(num_workers)
         self._pending = []
 
@@ -97,19 +99,30 @@ def save_image_grid(images, path, drange=(-1, 1), grid_cols=None):
 
 
 class TrainingEvaluator:
-    """In-training metric evaluation on a fixed held-out reconstruction set.
+    """In-training metric evaluation on a held-out set.
 
-    The EMA generator reconstructs the first `num_items` dataset samples
-    (same-pair, const noise); FID/KID compare detector features of the
-    reconstructions against those samples' reals. Real-side stats are
-    computed once at construction. This is the working version of the
-    reference's snapshot-time metric hook (training_loop_fullbody.py:738-748
-    + metrics/metric_main.py:39-77), which it ships commented out.
+    The first `num_items` dataset items are the held-out pool — the
+    training loop excludes exactly those indices from its sampler
+    (ParallelLoader holdout / data/sampler.py skip_first), so the EMA
+    generator is never trained on what it is evaluated on. Two protocols:
+
+    * ``fid_holdout`` / ``kid_holdout``: reconstruction — G_ema re-renders
+      each held-out item from its own conditioning (same-pair, const
+      noise); detector features vs those items' reals.
+    * ``fid_tryon``: the BASELINE config-3 protocol shape — generate over a
+      cross-pairs list (held-out person i wearing held-out garment i+1,
+      test-mode preprocessing) and compare features against the held-out
+      reals.
+
+    Real-side stats are computed once at construction. This is the working
+    version of the reference's snapshot-time metric hook
+    (training_loop_fullbody.py:738-748 + metrics/metric_main.py:39-77),
+    which it ships commented out.
     """
 
     def __init__(self, cfg: TrainConfig, dataset, detector_params,
                  num_items: int = 64, batch_size: int = 8,
-                 metrics: Sequence[str] = ("fid",)):
+                 metrics: Sequence[str] = ("fid",), tryon_mode="upper"):
         from ..metrics.metric_main import DetectorRunner
 
         self.metrics = tuple(metrics)
@@ -124,8 +137,38 @@ class TrainingEvaluator:
         reals = np.concatenate([b["real_img"] for b in self.batches])
         self.real_stats = self.runner.array_stats(
             _to_uint8(reals), capture_all=True)
+        self.tryon_batches = None
+        if any(m.endswith("tryon") for m in self.metrics):
+            self.tryon_batches = self._build_tryon_batches(
+                cfg, dataset, n, batch_size, tryon_mode)
         self._g, _, _ = make_models(cfg)
         self._fwd = None
+
+    @staticmethod
+    def _build_tryon_batches(cfg, dataset, n, batch_size, mode):
+        """Cross-pair inputs (person i, garment of person i+1 mod n) over
+        the held-out pool, test-mode preprocessing — the try-on protocol
+        (reference test.py pairs-list semantics)."""
+        from ..data import preprocess as pp
+        from ..data.testsets import to_model_inputs
+        from ..data.roots import as_root
+
+        root = as_root(dataset.root)
+        names = dataset.image_names[:n]
+        people = [pp.load_person(root, name, with_garment_parsing=True)
+                  for name in names]
+        items = [pp.preprocess_pair(people[i], people[(i + 1) % len(people)],
+                                    mode)
+                 for i in range(len(people))]
+        if cfg.resolution != 512:
+            from ..data.trainsets import _resize_item
+
+            items = [_resize_item(it, cfg.resolution) for it in items]
+        return [
+            {k: jnp.asarray(v) for k, v in
+             to_model_inputs(items[i:i + batch_size])[0].items()}
+            for i in range(0, len(items) - batch_size + 1, batch_size)
+        ]
 
     def _forward(self):
         if self._fwd is None:
@@ -148,6 +191,27 @@ class TrainingEvaluator:
             self._fwd = fwd
         return self._fwd
 
+    def _tryon_forward(self):
+        if getattr(self, "_tfwd", None) is None:
+            g = self._g
+
+            @jax.jit
+            def tfwd(params, buffers, inputs):
+                _, finetune, _ = g.apply(
+                    {"params": params, "buffers": buffers},
+                    noise_mode="const", **inputs)
+                return finetune
+
+            self._tfwd = tfwd
+        return self._tfwd
+
+    def _fid(self, gen_stats):
+        from ..metrics.fid import compute_fid
+
+        mu_r, sig_r = self.real_stats.get_mean_cov()
+        mu_g, sig_g = gen_stats.get_mean_cov()
+        return compute_fid(mu_r, sig_r, mu_g, sig_g)
+
     def __call__(self, state: TrainState) -> dict:
         fwd = self._forward()
         fakes = []
@@ -157,19 +221,25 @@ class TrainingEvaluator:
                 fwd(state.g_ema_params, state.g_ema_buffers, jb))))
         gen = self.runner.array_stats(
             _to_uint8(np.concatenate(fakes)), capture_all=True)
+        tryon_gen = None
+        if self.tryon_batches is not None:
+            tfwd = self._tryon_forward()
+            tfakes = [np.asarray(jax.device_get(
+                tfwd(state.g_ema_params, state.g_ema_buffers, b)))
+                for b in self.tryon_batches]
+            tryon_gen = self.runner.array_stats(
+                _to_uint8(np.concatenate(tfakes)), capture_all=True)
         out = {}
         for m in self.metrics:
             if m == "fid":
-                from ..metrics.fid import compute_fid
-
-                mu_r, sig_r = self.real_stats.get_mean_cov()
-                mu_g, sig_g = gen.get_mean_cov()
-                out["fid"] = compute_fid(mu_r, sig_r, mu_g, sig_g)
+                out["fid_holdout"] = self._fid(gen)
             elif m == "kid":
                 from ..metrics.kid import compute_kid
 
-                out["kid"] = compute_kid(self.real_stats.get_all(),
-                                         gen.get_all())
+                out["kid_holdout"] = compute_kid(self.real_stats.get_all(),
+                                                 gen.get_all())
+            elif m == "fid_tryon":
+                out["fid_tryon"] = self._fid(tryon_gen)
             else:
                 raise ValueError(f"unsupported in-training metric: {m}")
         return out
@@ -248,9 +318,14 @@ def _training_loop_impl(
     # array from the local shards. Process 0 owns all file output.
     n_proc, pid = jax.process_count(), jax.process_index()
     assert cfg.batch_size % max(n_proc, 1) == 0
+    # The evaluator's items (dataset[0..holdout)) are excluded from the
+    # training stream — a true held-out set (the round-2 evaluator trained
+    # on its own eval items).
+    holdout = min(eval_items, max(len(dataset) - cfg.batch_size, 0)) \
+        if eval_metrics else 0
     loader = iter(ParallelLoader(
         dataset, cfg.batch_size // n_proc, num_workers, seed,
-        rank=pid, num_replicas=n_proc))
+        rank=pid, num_replicas=n_proc, holdout=holdout))
     is_chief = pid == 0
     logger = JsonlLogger(run_dir)
     collector = Collector()
@@ -260,7 +335,7 @@ def _training_loop_impl(
         assert detector_params is not None, (
             "in-training metrics need detector_params (inception weights)")
         evaluator = TrainingEvaluator(
-            cfg, dataset, detector_params, num_items=eval_items,
+            cfg, dataset, detector_params, num_items=holdout,
             metrics=eval_metrics)
 
     if total_steps is None:

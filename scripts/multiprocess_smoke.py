@@ -30,29 +30,30 @@ def free_port():
     return port
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=2)
-    ap.add_argument("--data", default="/root/reference/test_datas")
-    args = ap.parse_args()
+def run_smoke(steps=2, data="/root/reference/test_datas", devices=8,
+              timeout=3000):
+    """Run the 2-process smoke; returns (exit_codes, losses, tmpdir).
 
+    Also importable from the test suite (tests/test_multiprocess.py) so the
+    --coordinator path cannot rot silently between releases."""
     port = free_port()
     tmp = tempfile.mkdtemp(prefix="mp_smoke_")
+    local = devices // 2
     procs = []
     for pid in range(2):
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                            " --xla_force_host_platform_device_count=4")
-        env["JAX_NUM_CPU_DEVICES"] = "4"
+                            f" --xla_force_host_platform_device_count={local}")
+        env["JAX_NUM_CPU_DEVICES"] = str(local)
         outdir = os.path.join(tmp, f"out{pid}")
         cmd = [
             sys.executable, "-m", "pasta_tpu.cli.train",
-            "--outdir", outdir, "--data", args.data,
-            "--cfg", "smoke", "--devices", "8",
+            "--outdir", outdir, "--data", data,
+            "--cfg", "smoke", "--devices", str(devices),
             "--coordinator", f"127.0.0.1:{port}",
             "--num-processes", "2", "--process-id", str(pid),
-            "--max-steps", str(args.steps), "--workers", "2",
+            "--max-steps", str(steps), "--workers", "2",
             "--aug", "noaug", "--gamma", "0",  # one compile variant only:
             # this host has 1 CPU core and both processes compile the step
         ]
@@ -61,7 +62,7 @@ def main():
             cmd, cwd=REPO, env=env, stdout=log, stderr=subprocess.STDOUT),
             log, outdir))
 
-    rc = [p.wait(timeout=3000) for p, _, _ in procs]
+    rc = [p.wait(timeout=timeout) for p, _, _ in procs]
     for _, log, _ in procs:
         log.close()
     for pid in range(2):
@@ -69,8 +70,7 @@ def main():
         with open(os.path.join(tmp, f"proc{pid}.log")) as f:
             print("".join(f.readlines()[-8:]))
     if any(rc):
-        print(f"FAIL: exit codes {rc}")
-        sys.exit(1)
+        return rc, None, tmp
 
     # Both processes compute on the same global batch -> identical stats.
     losses = []
@@ -81,6 +81,19 @@ def main():
         with open(path) as f:
             rows = [json.loads(line) for line in f]
         losses.append(rows[-1]["d_loss"]["mean"])
+    return rc, losses, tmp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--data", default="/root/reference/test_datas")
+    args = ap.parse_args()
+
+    rc, losses, tmp = run_smoke(steps=args.steps, data=args.data)
+    if any(rc):
+        print(f"FAIL: exit codes {rc}")
+        sys.exit(1)
     print(f"final d_loss per process: {losses}")
     if abs(losses[0] - losses[1]) > 1e-5:
         print("FAIL: processes diverged")

@@ -45,6 +45,104 @@ class TestNativeErode:
             np.testing.assert_array_equal(ours[i], ref)
 
 
+class TestNativeDecode:
+    """libjpeg/libpng decode parity vs PIL on the reference fixtures."""
+
+    FIXTURES = "/root/reference/test_datas"
+
+    def _pil(self, data):
+        import io
+        import PIL.Image
+
+        return np.array(PIL.Image.open(io.BytesIO(data)))
+
+    def _fixture_files(self):
+        import glob
+        import os
+
+        out = []
+        for sub in ("image", "parsing", "garment_parsing"):
+            out += sorted(glob.glob(os.path.join(self.FIXTURES, sub, "*")))[:4]
+        return out
+
+    def test_fixture_parity_vs_pil(self):
+        import os
+
+        files = self._fixture_files()
+        if not files:
+            pytest.skip("fixtures missing")
+        for path in files:
+            with open(path, "rb") as f:
+                data = f.read()
+            ref = self._pil(data)
+            ours = native.decode_image(data)
+            assert ours.shape == ref.shape, os.path.basename(path)
+            if path.endswith((".png", ".PNG")):
+                # PNG decode is lossless -> bit exact (incl. palette indices)
+                np.testing.assert_array_equal(ours, ref)
+            else:
+                # JPEG IDCT implementations may differ by +-1 LSB
+                assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1, \
+                    os.path.basename(path)
+
+    def test_synthetic_roundtrips(self):
+        import io
+        import PIL.Image
+
+        rng = np.random.RandomState(0)
+        rgb = rng.randint(0, 255, (33, 47, 3), np.uint8)
+        gray = rng.randint(0, 255, (21, 17), np.uint8)
+        pal = rng.randint(0, 7, (30, 20), np.uint8)
+        # RGB png
+        buf = io.BytesIO()
+        PIL.Image.fromarray(rgb).save(buf, "PNG")
+        np.testing.assert_array_equal(native.decode_image(buf.getvalue()), rgb)
+        # gray png
+        buf = io.BytesIO()
+        PIL.Image.fromarray(gray).save(buf, "PNG")
+        np.testing.assert_array_equal(native.decode_image(buf.getvalue()), gray)
+        # palette png -> index plane
+        img = PIL.Image.fromarray(pal, mode="P")
+        img.putpalette([v for i in range(256) for v in (i, 0, 255 - i)])
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        np.testing.assert_array_equal(native.decode_image(buf.getvalue()), pal)
+        # jpeg: decode matches PIL within IDCT tolerance
+        buf = io.BytesIO()
+        PIL.Image.fromarray(rgb).save(buf, "JPEG", quality=95)
+        ours = native.decode_image(buf.getvalue())
+        ref = np.array(PIL.Image.open(io.BytesIO(buf.getvalue())))
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+    def test_unknown_format_raises(self):
+        with pytest.raises(ValueError):
+            native.decode_image(b"not an image at all")
+
+    def test_batch_decode(self):
+        import io
+        import PIL.Image
+
+        rng = np.random.RandomState(2)
+        imgs = rng.randint(0, 255, (5, 24, 16, 3), np.uint8)
+        blobs = []
+        for i in range(5):
+            buf = io.BytesIO()
+            PIL.Image.fromarray(imgs[i]).save(buf, "PNG")
+            blobs.append(buf.getvalue())
+        out = native.decode_batch(blobs, 24, 16, 3)
+        np.testing.assert_array_equal(out, imgs)
+
+    def test_batch_decode_dim_mismatch_raises(self):
+        import io
+        import PIL.Image
+
+        buf = io.BytesIO()
+        PIL.Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(buf, "PNG")
+        with pytest.raises(ValueError):
+            native.decode_batch([buf.getvalue()], 16, 16, 3)
+
+
+class TestNativeWarpDegenerate:
     def test_degenerate_denominator_is_border_zero(self):
         # Pixels on the horizon line (denom ~ 0) must write BORDER_CONSTANT(0)
         # like cv2/JAX, not sample source pixel (0, 0).

@@ -104,13 +104,16 @@ class TestTrainingLoopRound2:
             cfg, dataset, run_dir,
             total_steps=4, tick_interval=2, snapshot_ticks=2,
             num_workers=2,
-            eval_metrics=("fid",), eval_ticks=1, eval_items=4,
+            eval_metrics=("fid", "fid_tryon"), eval_ticks=1, eval_items=4,
             detector_params=random_inception_params(0),
             tryon_grid_k=3)
 
         with open(os.path.join(run_dir, "stats.jsonl")) as f:
             rows = [json.loads(line) for line in f]
-        assert any("fid" in r and np.isfinite(r["fid"]) for r in rows)
+        assert any("fid_holdout" in r and np.isfinite(r["fid_holdout"])
+                   for r in rows)
+        assert any("fid_tryon" in r and np.isfinite(r["fid_tryon"])
+                   for r in rows)
         assert any(r.get("g_loss", {}).get("num", 0) > 1 for r in rows)
         assert os.path.exists(os.path.join(run_dir, "log.txt"))
         with open(os.path.join(run_dir, "log.txt")) as f:

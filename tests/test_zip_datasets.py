@@ -46,6 +46,13 @@ class TestInfiniteSampler:
         b = infinite_sampler(50, seed=7)
         assert [next(a) for _ in range(100)] == [next(b) for _ in range(100)]
 
+    def test_skip_first_holds_out(self):
+        from pasta_tpu.data.sampler import infinite_sampler
+
+        it = infinite_sampler(20, seed=1, skip_first=4)
+        seen = {next(it) for _ in range(400)}
+        assert seen == set(range(4, 20))  # holdout never sampled
+
     def test_no_shuffle_is_sequential(self):
         from pasta_tpu.data.sampler import infinite_sampler
 
