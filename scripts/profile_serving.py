@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--trace-dir", default="/tmp/pasta_serve_trace")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--production", action="store_true",
+                    help="trace the exact production program (f32 params, "
+                         "no perturb, one dispatch per batch) instead of "
+                         "the perturbed fori_loop")
     args = ap.parse_args()
 
     import jax
@@ -49,6 +53,24 @@ def main():
     variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         **assemble_inputs_device(f32_batch, "upper"))
+
+    if args.production:
+        # The perturbed fori_loop (below) defeats hoisting but turns the
+        # gather operands into computed values, letting layout assignment
+        # re-poison them — it measures a program production never runs.
+        # Here: the f32 batch enters as PARAMETERS (pinned default layouts),
+        # one dispatch per batch exactly like TryonPipeline.run_batch; the
+        # trace records true per-op device times regardless of host overlap.
+        run = jax.jit(single)
+        print("warm:", float(np.asarray(run(variables, f32_batch)).mean()))
+        iters = max(3, min(args.iters, 5))
+        os.makedirs(args.trace_dir, exist_ok=True)
+        jax.profiler.start_trace(args.trace_dir)
+        outs = [run(variables, f32_batch) for _ in range(iters)]
+        print("traced:", float(np.asarray(outs[-1]).mean()))
+        jax.profiler.stop_trace()
+        _print_op_profile(args.trace_dir, args.top, iters)
+        return
 
     @jax.jit
     def loop(variables, fb):
