@@ -86,6 +86,32 @@ def import_vgg19_torch_state(state: Dict[str, np.ndarray]):
     return {"params": params}
 
 
+def vgg_features(vgg_params, x, dtype=None):
+    """Feature pyramid of one image batch (5 slices, extractor dtype)."""
+    if dtype is not None:
+        x = x.astype(dtype)
+    return VGG19Features().apply(vgg_params, x)
+
+
+def vgg_feature_loss(vgg_params, x, target_feats, weights=FEATURE_WEIGHTS,
+                     dtype=None):
+    """Weighted multi-slice L1 distance of x's features to a precomputed
+    (detached) target pyramid.
+
+    Sharing `target_feats` across loss terms matters for throughput: the
+    training step compares both generator outputs (img and finetune_img)
+    against the SAME real image — computing the real pyramid once per step
+    instead of once per term (and once more per term under remat) removes
+    3 of the 4 real-image VGG forwards from the step.
+    """
+    fx = vgg_features(vgg_params, x, dtype=dtype)
+    loss = 0.0
+    for w, a, b in zip(weights, fx, target_feats):
+        d = jnp.abs(a - jax.lax.stop_gradient(b)).astype(jnp.float32)
+        loss = loss + w * jnp.mean(d)
+    return loss
+
+
 def vgg_loss(vgg_params, x, y, weights=FEATURE_WEIGHTS, dtype=None):
     """Weighted multi-slice L1 feature distance; y is the (detached) target.
 
@@ -94,14 +120,5 @@ def vgg_loss(vgg_params, x, y, weights=FEATURE_WEIGHTS, dtype=None):
     the VGG forward/backward is a large share of Gmain's FLOPs). The
     per-slice reductions always accumulate in float32.
     """
-    model = VGG19Features()
-    if dtype is not None:
-        x = x.astype(dtype)
-        y = y.astype(dtype)
-    fx = model.apply(vgg_params, x)
-    fy = model.apply(vgg_params, jax.lax.stop_gradient(y))
-    loss = 0.0
-    for w, a, b in zip(weights, fx, fy):
-        d = jnp.abs(a - jax.lax.stop_gradient(b)).astype(jnp.float32)
-        loss = loss + w * jnp.mean(d)
-    return loss
+    fy = vgg_features(vgg_params, jax.lax.stop_gradient(y), dtype=dtype)
+    return vgg_feature_loss(vgg_params, x, fy, weights=weights, dtype=dtype)

@@ -52,6 +52,14 @@ class SynthesisNetwork(nn.Module):
     # the cost of one extra forward — how the monolithic 512px train step
     # fits a single chip's HBM.
     remat: bool = False
+    # Only remat blocks at resolution >= this (with remat=True). Small-res
+    # blocks (8..64) hold tiny activations but real FLOPs (512ch) — storing
+    # them costs ~0.5 GB at batch 8 while skipping their backward recompute.
+    remat_min_res: int = 0
+    # Remat each SPADE normalization inside the SPADE resblocks (see
+    # SpadeResBlock.inner_remat; needed for batch-16 HBM, pure recompute
+    # overhead when the step fits without it). None = follow `remat`.
+    spade_inner_remat: Optional[bool] = None
 
     @property
     def block_resolutions(self):
@@ -132,13 +140,24 @@ class SynthesisNetwork(nn.Module):
             conv_clamp=self.conv_clamp,
             use_noise=self.use_noise,
         )
-        style_cls, texture_cls, spade_cls = (
-            SynthesisBlockStyle, SynthesisBlockTexture, SpadeResBlock)
-        if self.remat:
+        inner_remat = (self.remat if self.spade_inner_remat is None
+                       else self.spade_inner_remat)
+
+        def _remat_at(res):
+            return self.remat and res >= self.remat_min_res
+
+        def style_cls(res):
             # noise_mode is the only non-array argument (static).
-            style_cls = nn.remat(SynthesisBlockStyle, static_argnums=(6,))
-            texture_cls = nn.remat(SynthesisBlockTexture, static_argnums=(7,))
-            spade_cls = nn.remat(SpadeResBlock)
+            return nn.remat(SynthesisBlockStyle, static_argnums=(6,)) \
+                if _remat_at(res) else SynthesisBlockStyle
+
+        def texture_cls(res):
+            return nn.remat(SynthesisBlockTexture, static_argnums=(7,)) \
+                if _remat_at(res) else SynthesisBlockTexture
+
+        def spade_cls(res):
+            return nn.remat(SpadeResBlock) if _remat_at(res) \
+                else SpadeResBlock
 
         # Style branch: b8 ... b512. torgb of block k shares its w with
         # block k+1's conv0 (reference ws.narrow slicing, networks.py:2281-2289).
@@ -149,7 +168,7 @@ class SynthesisNetwork(nn.Module):
         for res in resolutions:
             in_ch = channels[res // 2] if res > 8 else 0
             n_conv = 1 if res == 8 else 2
-            block = style_cls(
+            block = style_cls(res)(
                 in_channels=in_ch,
                 out_channels=channels[res],
                 resolution=res,
@@ -203,26 +222,26 @@ class SynthesisNetwork(nn.Module):
 
         res_256 = resolutions[-2]
         spade_dtype = jnp.bfloat16 if res_256 >= bf16_res else jnp.float32
-        x_spade = spade_cls(
+        x_spade = spade_cls(res_256)(
             channels[res_256], channels[res_256], spade_channels=128,
-            conv_clamp=self.conv_clamp, inner_remat=self.remat,
+            conv_clamp=self.conv_clamp, inner_remat=inner_remat,
             name="spade_b256_1")(
                 x_256.astype(spade_dtype), spade_feat.astype(spade_dtype))
-        x_spade = spade_cls(
+        x_spade = spade_cls(res_256)(
             channels[res_256], channels[res_256], spade_channels=128,
-            conv_clamp=self.conv_clamp, inner_remat=self.remat,
+            conv_clamp=self.conv_clamp, inner_remat=inner_remat,
             name="spade_b256_2")(
                 x_spade, spade_feat.astype(spade_dtype))
 
         res_512 = resolutions[-1]
-        texture = texture_cls(
+        texture = texture_cls(res_512)(
             in_channels=channels[res_512 // 2],
             out_channels=channels[res_512],
             resolution=res_512,
             is_last=True,
             is_style=False,
             use_bf16=(res_512 >= bf16_res),
-            inner_remat=self.remat,
+            inner_remat=inner_remat,
             name="texture_b512",
             **block_common,
         )
@@ -249,6 +268,8 @@ class Generator(nn.Module):
     mapping_layers: int = 1
     num_bf16_res: int = 0
     remat: bool = False
+    remat_min_res: int = 0              # see SynthesisNetwork.remat_min_res
+    spade_inner_remat: Optional[bool] = None
 
     def setup(self):
         self.synthesis = SynthesisNetwork(
@@ -261,6 +282,8 @@ class Generator(nn.Module):
             use_noise=self.use_noise,
             num_bf16_res=self.num_bf16_res,
             remat=self.remat,
+            remat_min_res=self.remat_min_res,
+            spade_inner_remat=self.spade_inner_remat,
         )
         self.num_ws = self.synthesis.num_ws
         self.mapping = MappingNetwork(

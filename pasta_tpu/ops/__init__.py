@@ -10,8 +10,12 @@ from .upfirdn2d import upfirdn2d, upsample2d, downsample2d, filter2d
 from .bias_act import bias_act, activation_funcs
 from .conv2d_resample import conv2d_resample
 from .modulated_conv import modulated_conv2d
+from .projective_warp import (
+    warp_perspective_matmul, warp_perspective_matmul_multi)
 
 __all__ = [
+    "warp_perspective_matmul",
+    "warp_perspective_matmul_multi",
     "setup_filter",
     "upfirdn2d",
     "upsample2d",

@@ -219,11 +219,16 @@ def ingest_device(host: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
 
 
 def assemble_inputs_device(host: Dict[str, jnp.ndarray], mode: str,
-                           tiled: bool = False):
+                           tiled: bool = False, warp_impl: str = "auto"):
     """Device: warps + assembly -> generator input dict. Jit-traceable.
 
     tiled=True uses the fixed-tile paste path (4x less gather work); callers
     must have verified host["tiles_fit"] for every batch item.
+
+    warp_impl: 'auto' (default) runs the cut/paste warps as one-hot MXU
+    matmuls on TPU (ops/projective_warp.py — the pointwise gathers were 73%
+    of the measured serving program) and gathers elsewhere; 'gather' forces
+    the oracle path.
 
     Accepts either the raw uint8 host_prepare batch or the output of
     ingest_device (casts below are identities then). Production callers
@@ -241,14 +246,14 @@ def assemble_inputs_device(host: Dict[str, jnp.ndarray], mode: str,
             host["upper_mask"], host["lower_mask"], host["sleeve"],
             host["upper_cut_m"], host["lower_cut_m"], host["paste_m_inv"],
             host["part_valid"], host["tile_offsets"], erode_k=erode_k,
-            track_wo_sleeve=(mode == "upper"))
+            track_wo_sleeve=(mode == "upper"), warp_impl=warp_impl)
     else:
         norm = normalize_patches_device(
             host["upper_img"], host["lower_img"],
             host["upper_mask"], host["lower_mask"], host["sleeve"],
             host["upper_cut_m"], host["lower_cut_m"], host["paste_m_inv"],
             host["part_valid"], erode_k=erode_k,
-            track_wo_sleeve=(mode == "upper"))
+            track_wo_sleeve=(mode == "upper"), warp_impl=warp_impl)
     if mode in ("upper", "lower"):
         norm = _zero_conflicts(norm)
     norm = _mirror_sleeves(norm)
@@ -304,7 +309,7 @@ class TryonPipeline:
     (assemble + generator forward)."""
 
     def __init__(self, variables, mode="upper", model: Optional[Generator] = None,
-                 noise_mode="const"):
+                 noise_mode="const", warp_impl="auto"):
         self.model = model or Generator()
         self.variables = variables
         self.mode = mode
@@ -312,7 +317,8 @@ class TryonPipeline:
 
         @functools.partial(jax.jit, static_argnames=("tiled",))
         def _run(variables, host_batch, tiled=False):
-            inputs = assemble_inputs_device(host_batch, mode, tiled=tiled)
+            inputs = assemble_inputs_device(
+                host_batch, mode, tiled=tiled, warp_impl=warp_impl)
             img, finetune, parsing = self.model.apply(
                 variables, noise_mode=noise_mode, **inputs)
             return finetune

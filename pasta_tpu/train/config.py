@@ -134,6 +134,18 @@ class TrainConfig:
     # to block count for ~1/3 more forward FLOPs. Required to fit the
     # monolithic 512px step in one v5e chip's 16G HBM.
     remat: bool = True
+    # Remat only G blocks at resolution >= this (remat=True). The small-res
+    # blocks (8..64) hold ~0.5 GB of activations at batch 8 but real FLOPs
+    # (512 channels); storing them skips their backward recompute.
+    remat_min_res: int = 0
+    # Remat each SPADE normalization inside the SPADE resblocks. Required
+    # headroom for batch 16; pure recompute overhead when the step already
+    # fits (9 extra 256px convs per resblock backward). None = follow remat.
+    spade_inner_remat: Optional[bool] = None
+    # Remat the discriminator forwards inside the loss (one extra D forward
+    # per backward; ~2.7 GB of D activations live otherwise at batch 8
+    # across the step's ~9 D applications). None = follow remat.
+    d_remat: Optional[bool] = None
 
     @property
     def batch_per_device(self):

@@ -35,7 +35,7 @@ import optax
 
 from ..losses.gan import g_nonsat_loss, d_logistic_loss
 from ..losses.parsing import weighted_parsing_ce
-from ..losses.vgg import vgg_loss
+from ..losses.vgg import vgg_features, vgg_feature_loss
 from .augment import augment_pipe, AugmentConfig
 from .config import TrainConfig
 from .state import TrainState, make_models, make_optimizers
@@ -54,8 +54,10 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None, mesh=None):
         lambda x: jnp.nan_to_num(x, nan=0.0, posinf=1e5, neginf=-1e5), t)
     ) if cfg.sanitize_grads else (lambda t: t)
     _vgg_dtype = jnp.bfloat16 if cfg.vgg_bf16 else None
-    _vgg_base = functools.partial(vgg_loss, dtype=_vgg_dtype)
-    _vgg_loss = jax.checkpoint(_vgg_base) if cfg.remat else _vgg_base
+    # Real-image features computed once and shared by the img/finetune
+    # terms (see steps.py _vgg_pair); only the x-branch sits under remat.
+    _vgg_x_base = functools.partial(vgg_feature_loss, dtype=_vgg_dtype)
+    _vgg_x_loss = jax.checkpoint(_vgg_x_base) if cfg.remat else _vgg_x_base
 
     def _g_outputs(g_params, g_buffers, batch, noise_key):
         """G forward returning (img, finetune, parsing, style_code),
@@ -135,9 +137,11 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None, mesh=None):
                 parsing, batch["gt_parsing"][..., 0].astype(jnp.int32)
             ) * cfg.mask_weight
         if cfg.vgg_weight > 0 and vgg_params is not None:
+            real_feats = [jax.lax.stop_gradient(f) for f in vgg_features(
+                vgg_params, batch["real_img"], dtype=_vgg_dtype)]
             loss = loss + (
-                _vgg_loss(vgg_params, img, batch["real_img"])
-                + _vgg_loss(vgg_params, ft, batch["real_img"])
+                _vgg_x_loss(vgg_params, img, real_feats)
+                + _vgg_x_loss(vgg_params, ft, real_feats)
             ) / 2 * cfg.vgg_weight
         metrics = dict(g_loss=g_nonsat_loss(gen_logits),
                        g_loss_finetune=g_nonsat_loss(ft_logits),

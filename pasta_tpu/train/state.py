@@ -38,7 +38,9 @@ def make_models(cfg: TrainConfig):
         channel_base=cfg.channel_base, channel_max=cfg.channel_max,
         conv_clamp=cfg.conv_clamp, use_noise=cfg.use_noise,
         mapping_layers=cfg.mapping_layers,
-        num_bf16_res=cfg.g_num_bf16_res, remat=cfg.remat)
+        num_bf16_res=cfg.g_num_bf16_res, remat=cfg.remat,
+        remat_min_res=cfg.remat_min_res,
+        spade_inner_remat=cfg.spade_inner_remat)
     # image D: 3 (image) + 3 (pose rgb); parsing D: 7 + 3
     # (training_loop_fullbody.py:405-410)
     d = Discriminator(

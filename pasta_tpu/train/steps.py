@@ -23,7 +23,6 @@ import optax
 
 from ..losses.gan import g_nonsat_loss, d_logistic_loss
 from ..losses.parsing import weighted_parsing_ce
-from ..losses.vgg import vgg_loss
 from .augment import augment_pipe, AugmentConfig
 from .config import TrainConfig
 from .state import TrainState, make_models, make_optimizers
@@ -84,8 +83,19 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
     # three branches — img/finetune/parsing — whose activations would all
     # be live at once).
     _vgg_dtype = jnp.bfloat16 if cfg.vgg_bf16 else None
-    _vgg_base = functools.partial(vgg_loss, dtype=_vgg_dtype)
-    _vgg_loss = jax.checkpoint(_vgg_base) if cfg.remat else _vgg_base
+    # The real image's feature pyramid is computed ONCE per loss evaluation
+    # (outside the checkpointed x-branches, no grad) and shared by the img
+    # and finetune terms; only the x-branch forward sits under remat.
+    from ..losses.vgg import vgg_features, vgg_feature_loss
+
+    _vgg_x_base = functools.partial(vgg_feature_loss, dtype=_vgg_dtype)
+    _vgg_x_loss = jax.checkpoint(_vgg_x_base) if cfg.remat else _vgg_x_base
+
+    def _vgg_pair(vp, img, finetune, real):
+        real_feats = [jax.lax.stop_gradient(f)
+                      for f in vgg_features(vp, real, dtype=_vgg_dtype)]
+        return (_vgg_x_loss(vp, img, real_feats),
+                _vgg_x_loss(vp, finetune, real_feats))
 
     def _d_apply(params, x, c):
         return d.apply({"params": params}, x, c)
@@ -93,7 +103,8 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
     def _dp_apply(params, x, c):
         return dp.apply({"params": params}, x, c)
 
-    if cfg.remat:
+    d_remat = cfg.remat if cfg.d_remat is None else cfg.d_remat
+    if d_remat:
         _d_apply = jax.checkpoint(_d_apply)
         _dp_apply = jax.checkpoint(_dp_apply)
 
@@ -133,10 +144,10 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
 
         loss_vgg = loss_vgg_ft = 0.0
         if cfg.vgg_weight > 0 and vgg_params is not None:
-            loss_vgg = _vgg_loss(
-                vgg_params, img, batch["real_img"]) * cfg.vgg_weight
-            loss_vgg_ft = _vgg_loss(
-                vgg_params, finetune, batch["real_img"]) * cfg.vgg_weight
+            loss_vgg, loss_vgg_ft = _vgg_pair(
+                vgg_params, img, finetune, batch["real_img"])
+            loss_vgg = loss_vgg * cfg.vgg_weight
+            loss_vgg_ft = loss_vgg_ft * cfg.vgg_weight
 
         loss_ctx = 0.0
         if cfg.contextual_weight > 0 and vgg_params is not None:
@@ -525,7 +536,6 @@ def _build_phase_fns(cfg: TrainConfig, vgg_params=None, mesh=None):
     from .steps import _run_g, _d_in, _gt_parsing_onehot  # self
     from ..losses.gan import g_nonsat_loss, d_logistic_loss
     from ..losses.parsing import weighted_parsing_ce
-    from ..losses.vgg import vgg_loss
 
     def g_loss_fn(g_params, state, batch, keys):
         img, finetune, pred_parsing, gen_c, new_buffers = _run_g(
@@ -550,12 +560,15 @@ def _build_phase_fns(cfg: TrainConfig, vgg_params=None, mesh=None):
                 pred_parsing, batch["gt_parsing"][..., 0].astype(jnp.int32)
             ) * cfg.mask_weight
         if cfg.vgg_weight > 0 and vgg_params is not None:
-            _vgg_base = functools.partial(
-                vgg_loss, dtype=jnp.bfloat16 if cfg.vgg_bf16 else None)
+            from ..losses.vgg import vgg_features, vgg_feature_loss
+            _dt = jnp.bfloat16 if cfg.vgg_bf16 else None
+            _vgg_base = functools.partial(vgg_feature_loss, dtype=_dt)
             _vgg = jax.checkpoint(_vgg_base) if cfg.remat else _vgg_base
+            real_feats = [jax.lax.stop_gradient(f) for f in vgg_features(
+                vgg_params, batch["real_img"], dtype=_dt)]
             loss = loss + (
-                _vgg(vgg_params, img, batch["real_img"])
-                + _vgg(vgg_params, finetune, batch["real_img"])
+                _vgg(vgg_params, img, real_feats)
+                + _vgg(vgg_params, finetune, real_feats)
             ) / 2 * cfg.vgg_weight
         metrics = dict(g_loss=g_nonsat_loss(gen_logits),
                        fake_scores=jnp.mean(gen_logits))

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--d-bf16-res", type=int, default=0)
     ap.add_argument("--g-bf16-res", type=int, default=0)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat-min-res", type=int, default=0)
+    ap.add_argument("--no-spade-inner-remat", action="store_true")
+    ap.add_argument("--no-d-remat", action="store_true")
     ap.add_argument("--grad-accum", type=int, default=1)
     ap.add_argument("--no-noise", action="store_true",
                     help="use_noise=False (A/B: per-layer RNG cost)")
@@ -64,6 +67,9 @@ def main():
         d_num_bf16_res=args.d_bf16_res,
         g_num_bf16_res=args.g_bf16_res,
         remat=args.remat,
+        remat_min_res=args.remat_min_res,
+        spade_inner_remat=False if args.no_spade_inner_remat else None,
+        d_remat=False if args.no_d_remat else None,
         grad_accum=args.grad_accum,
         use_noise=not args.no_noise,
         use_ada=not args.no_ada,

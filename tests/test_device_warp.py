@@ -113,3 +113,38 @@ class TestDevicePipelineParity:
         # and the garment region must be substantial in both
         assert (host_du.sum(axis=2) > 0).mean() > 0.01
         assert (dev_du.sum(axis=2) > 0).mean() > 0.01
+
+
+@needs_fixtures
+class TestMatmulWarpImpl:
+    def test_normalize_matmul_vs_gather(self):
+        """warp_impl='matmul' must reproduce the gather pipeline on real
+        fixture geometry (softened kernel: compare at image tolerance)."""
+        person = pp.load_person(FIXTURES, sorted(os.listdir(
+            os.path.join(FIXTURES, "image")))[0])
+        clothes = pp.load_person(FIXTURES, sorted(os.listdir(
+            os.path.join(FIXTURES, "image")))[1], with_garment_parsing=True)
+        clothes_cls = pp.garment_class_masks(clothes.parsing)
+        upper_mask = clothes_cls["tops"] + clothes_cls["dresses"]
+        lower_mask = clothes_cls["skirt"] + clothes_cls["pants"]
+        args = [
+            jnp.asarray((upper_mask * clothes.image).astype(np.float32)[None]),
+            jnp.asarray((lower_mask * clothes.image).astype(np.float32)[None]),
+            jnp.asarray(upper_mask.astype(np.float32)[None] * 255),
+            jnp.asarray(lower_mask.astype(np.float32)[None] * 255),
+            jnp.asarray(pp.sleeve_mask_from(clothes).astype(np.float32)[None]),
+        ]
+        mu, ml, pinv, valid = host_matrices_for_pair(
+            clothes.keypoints, clothes.keypoints, person.keypoints)
+        mats = [jnp.asarray(mu[None]), jnp.asarray(ml[None]),
+                jnp.asarray(pinv[None]), jnp.asarray(valid[None])]
+        ref = normalize_patches_device(*args, *mats, erode_k=5,
+                                       warp_impl="gather")
+        got = normalize_patches_device(*args, *mats, erode_k=5,
+                                       warp_impl="matmul")
+        for key in ("norm_img", "norm_img_lower", "denorm_upper_img",
+                    "denorm_lower_img"):
+            a, b = np.asarray(ref[key]), np.asarray(got[key])
+            # softened kernel: most pixels match tightly, edges may differ
+            frac = np.mean(np.abs(a - b) > 4.0)
+            assert frac < 0.02, f"{key}: {frac:.4f}"
