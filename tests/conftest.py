@@ -27,6 +27,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is dominated by CPU jit compiles
+# (one core here); repeat runs reuse compiled executables from disk. The
+# min-entry-size/min-compile-time gates are lowered so small test programs
+# cache too.
+_cache_dir = os.environ.get(
+    "PASTA_TEST_CACHE", os.path.join(os.path.dirname(__file__),
+                                     ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 REFERENCE_ROOT = "/root/reference"
 
 

@@ -126,6 +126,7 @@ class TestAdjoint:
 
 
 class TestAugmentIntegration:
+    @pytest.mark.slow
     def test_twopass_impl_close_to_gather(self):
         from pasta_tpu.train.augment import AugmentConfig, augment_pipe
         rng = np.random.RandomState(3)
@@ -268,6 +269,7 @@ class TestSPMD:
         np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
                                    atol=1e-5)
 
+    @pytest.mark.slow
     def test_train_step_twopass_on_mesh(self):
         """Full smoke train step over the 8-device mesh with the twopass
         ADA warp (jnp backend under shard_map)."""

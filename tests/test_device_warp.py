@@ -116,6 +116,7 @@ class TestDevicePipelineParity:
 
 
 @needs_fixtures
+@pytest.mark.slow
 class TestMatmulWarpImpl:
     def test_normalize_matmul_vs_gather(self):
         """warp_impl='matmul' must reproduce the gather pipeline on real

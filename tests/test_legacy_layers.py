@@ -108,6 +108,7 @@ class TestLegacyLayers:
 
 class TestPatchDiscriminator:
     @pytest.mark.parametrize("use_ref", [True, False])
+    @pytest.mark.slow
     def test_forward(self, use_ref):
         m = PatchCoOccurrenceDiscriminator(
             crop_size=32, num_crops=4, use_reference=use_ref, channel_max=64)
@@ -177,6 +178,7 @@ class TestZooStragglers:
         ref = torch.stack(grids, dim=-1).numpy()
         np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_encoder_block_shapes(self):
         from pasta_tpu.nn.legacy import EncoderBlock
 

@@ -86,6 +86,7 @@ class TestFeatureStats:
 
 
 class TestInception:
+    @pytest.mark.slow
     def test_feature_shapes(self):
         params = random_inception_params(0)
         x = jnp.asarray(
@@ -142,6 +143,7 @@ class TestFolderPipeline:
                     dir_b / f"{i}.png")
         return str(dir_a), str(dir_b)
 
+    @pytest.mark.slow
     def test_fid_folder_self_vs_other(self, image_dirs):
         dir_a, dir_b = image_dirs
         runner = DetectorRunner(random_inception_params(0), batch_size=4)

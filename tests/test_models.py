@@ -97,6 +97,7 @@ class TestGenerator:
 
 class TestDiscriminator:
     @pytest.mark.parametrize("img_channels", [6, 10])  # image D / parsing D
+    @pytest.mark.slow
     def test_forward(self, img_channels):
         model = Discriminator(
             c_dim=64, img_resolution=64, img_channels=img_channels,

@@ -56,6 +56,7 @@ def test_device_inputs_match_host(mode):
 
 
 @needs_fixtures
+@pytest.mark.slow
 def test_tiled_paste_matches_full():
     """Tiled paste path == full-canvas path up to erode-threshold edges."""
     ds = TryonPairDataset(FIXTURES, "test_pairs.txt", mode="upper")

@@ -91,6 +91,7 @@ class TestPPL:
 
 
 class TestCheckpointResume:
+    @pytest.mark.slow
     def test_orbax_trainstate_roundtrip(self, tmp_path):
         from pasta_tpu.io.checkpoint import (
             save_checkpoint_variables, load_checkpoint_variables)

@@ -160,6 +160,7 @@ class TestPrecisionAndRemat:
         for leaf in jax.tree.leaves(s1.g_params):
             assert leaf.dtype == jnp.float32
 
+    @pytest.mark.slow
     def test_bf16_generator_forward_close_to_fp32(self):
         """bf16 G forward stays within bf16 tolerance of the fp32 output."""
         from pasta_tpu.models import Generator

@@ -146,6 +146,7 @@ def test_lpips_feature_identity(tree):
     np.testing.assert_allclose(d_feat, d_direct, rtol=1e-5, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_importer_roundtrip(tree, torch_states):
     state, lpips_state = torch_states
     np_state = {k: v.numpy() for k, v in state.items()}
