@@ -281,34 +281,47 @@ def zero_bound_above_mask_bottom(bound, mask):
 
 
 def host_matrices_for_pair(upper_cut_kps, lower_cut_kps, paste_kps,
-                           patch=128, res=512):
+                           patch=128, res=512, return_paste_fwd=False):
     """Solve the per-part homographies on host -> arrays for the device path.
 
     Returns (upper_cut_m, lower_cut_m, paste_m_inv, part_valid), shapes
     [10,3,3]x3 and [10,3] — the only host work besides decode/keypoints.
+    With return_paste_fwd also the patch->image paste transforms (a free
+    by-product the tile-layout pass otherwise re-derives by inversion).
+
+    All ~30 per-pair 8x8 homography systems go through ONE batched solve
+    (geometry.perspective_batch — the sequential solves dominated the host
+    profile). The cut transforms are solved directly in the device's
+    dst->src direction (patch->image), which the loop formulation obtained
+    by solving image->patch and inverting — identical warp up to the
+    homography's irrelevant overall scale.
     """
+    from .geometry import part_quads, perspective_batch
+
     n_parts = len(BODY_PARTS)
-    upper_m = np.zeros((n_parts, 3, 3), np.float32)
-    lower_m = np.zeros((n_parts, 3, 3), np.float32)
-    paste_inv = np.zeros((n_parts, 3, 3), np.float32)
-    valid = np.zeros((n_parts, 3), bool)
-    for ii in range(n_parts):
-        mu, _ = get_crop_matrices(upper_cut_kps, ii, patch, patch, res, res)
-        ml, _ = get_crop_matrices(lower_cut_kps, ii, patch, patch, res, res)
-        _, pinv = get_crop_matrices(paste_kps, ii, patch, patch, res, res)
-        if mu is not None:
-            # device sampler needs dst->src: invert the cut transform
-            upper_m[ii] = np.linalg.inv(mu)
-            valid[ii, 0] = True
-        if ml is not None:
-            lower_m[ii] = np.linalg.inv(ml)
-            valid[ii, 1] = True
-        if pinv is not None:
-            # pinv maps patch->image; sampling the image at patch coords
-            # needs image->patch per OUTPUT pixel: that's the paste direction
-            # dst(image px) -> src(patch px) = inv(pinv)
-            paste_inv[ii] = np.linalg.inv(pinv)
-            valid[ii, 2] = True
+    qu, vu = part_quads(upper_cut_kps, res, res)
+    ql, vl = part_quads(lower_cut_kps, res, res)
+    qp, vp = part_quads(paste_kps, res, res)
+    dst = np.float32([[0, 0], [0, patch], [patch, patch], [patch, 0]])
+    dst_all = np.broadcast_to(dst, (n_parts, 4, 2))
+
+    # Guard degenerate zero quads (invalid parts) from the batched solve:
+    # substitute the identity square so the system stays nonsingular.
+    ident = np.float32([[0, 0], [0, 1], [1, 1], [1, 0]])
+    qu_s = np.where(vu[:, None, None], qu, ident)
+    ql_s = np.where(vl[:, None, None], ql, ident)
+    qp_s = np.where(vp[:, None, None], qp, ident)
+
+    src = np.concatenate([dst_all, dst_all, qp_s, dst_all], axis=0)
+    tgt = np.concatenate([qu_s, ql_s, dst_all, qp_s], axis=0)
+    m = perspective_batch(src, tgt).astype(np.float32)
+    upper_m = np.where(vu[:, None, None], m[:n_parts], 0.0)
+    lower_m = np.where(vl[:, None, None], m[n_parts:2 * n_parts], 0.0)
+    paste_inv = np.where(vp[:, None, None], m[2 * n_parts:3 * n_parts], 0.0)
+    paste_fwd = np.where(vp[:, None, None], m[3 * n_parts:], 0.0)
+    valid = np.stack([vu, vl, vp], axis=1)
+    if return_paste_fwd:
+        return upper_m, lower_m, paste_inv, valid, paste_fwd
     return upper_m, lower_m, paste_inv, valid
 
 
@@ -324,12 +337,16 @@ PASTE_TILE = 256
 
 
 def paste_tile_layout(paste_m_inv_parts, part_valid_paste, res=512,
-                      tile=PASTE_TILE, margin=8, patch=128):
+                      tile=PASTE_TILE, margin=8, patch=128,
+                      paste_fwd_parts=None):
     """Host: per-part tile offsets + fit check.
 
     Args:
         paste_m_inv_parts: [10, 3, 3] patch->image transforms (or zeros).
         part_valid_paste:  [10] bools.
+        paste_fwd_parts:   optional [10, 3, 3] forward (patch->image)
+            transforms from host_matrices_for_pair(return_paste_fwd=True);
+            skips the per-part inversions below.
 
     Returns (offsets [10, 2] int32 (y, x), fits: bool).
     """
@@ -343,7 +360,9 @@ def paste_tile_layout(paste_m_inv_parts, part_valid_paste, res=512,
             continue
         # The device matrices map image(dst) -> patch(src); the destination
         # quad needs the forward patch -> image direction.
-        m_fwd = np.linalg.inv(np.asarray(m, np.float64))
+        m_fwd = (np.asarray(paste_fwd_parts[i], np.float64)
+                 if paste_fwd_parts is not None
+                 else np.linalg.inv(np.asarray(m, np.float64)))
         proj = corners @ m_fwd.T
         xy = proj[:, :2] / np.maximum(np.abs(proj[:, 2:3]), 1e-9) * np.sign(
             proj[:, 2:3])

@@ -179,6 +179,50 @@ def _part_quad(joints, bpart, o_w, o_h, ar):
     return np.float32([a, d, c, b])
 
 
+def perspective_batch(src, dst):
+    """Batched get_perspective_transform: src/dst [K, 4, 2] -> [K, 3, 3].
+
+    One stacked LAPACK solve instead of K sequential 8x8 solves — the
+    host-prep profile showed ~30 homography solves per pair dominated by
+    per-call numpy overhead."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    k = src.shape[0]
+    a = np.zeros((k, 8, 8), np.float64)
+    rhs = dst.reshape(k, 8)
+    x, y = src[:, :, 0], src[:, :, 1]
+    u, v = dst[:, :, 0], dst[:, :, 1]
+    ones = np.ones_like(x)
+    a[:, 0::2, 0] = x
+    a[:, 0::2, 1] = y
+    a[:, 0::2, 2] = ones
+    a[:, 0::2, 6] = -u * x
+    a[:, 0::2, 7] = -u * y
+    a[:, 1::2, 3] = x
+    a[:, 1::2, 4] = y
+    a[:, 1::2, 5] = ones
+    a[:, 1::2, 6] = -v * x
+    a[:, 1::2, 7] = -v * y
+    coeffs = np.linalg.solve(a, rhs[:, :, None])[:, :, 0]
+    m = np.concatenate([coeffs, np.ones((k, 1))], axis=1)
+    return m.reshape(k, 3, 3)
+
+
+def part_quads(joints, o_w, o_h):
+    """All 10 part source quads at once: ([10, 4, 2] f32, [10] bool valid).
+
+    Invalid parts carry zero quads (callers mask by `valid`)."""
+    quads = np.zeros((len(BODY_PARTS), 4, 2), np.float32)
+    valid = np.zeros(len(BODY_PARTS), bool)
+    for i, bpart in enumerate(BODY_PARTS):
+        ar = 0.5 if i < 6 else 0.4
+        q = _part_quad(joints, bpart, o_w, o_h, ar)
+        if q is not None:
+            quads[i] = q
+            valid[i] = True
+    return quads, valid
+
+
 def get_crop_matrices(joints, part_index, patch_w, patch_h, o_w, o_h):
     """(M, M_inv) perspective transforms for one body part, or (None, None).
 

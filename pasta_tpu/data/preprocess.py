@@ -169,12 +169,20 @@ def retain_mask_of(record):
 
 
 def mask_to_bbox(mask):
-    """[x0, y0, x1, y1] of mask>=0.5, or None (dataset.py:999-1008)."""
-    site = np.where(mask >= 0.5)
-    if len(site[0]) > 0 and len(site[1]) > 0:
-        return [np.min(site[1]), np.min(site[0]),
-                np.max(site[1]), np.max(site[0])]
-    return None
+    """[x0, y0, x1, y1] of mask>=0.5, or None (dataset.py:999-1008).
+
+    Row/column any-reductions + argmax instead of materializing the full
+    index list (np.where on a 512^2 mask was a visible host-prep cost)."""
+    m = np.asarray(mask) >= 0.5
+    if m.ndim == 3:
+        m = m.any(axis=2)
+    rows = m.any(axis=1)
+    if not rows.any():
+        return None
+    cols = m.any(axis=0)
+    y0 = int(np.argmax(rows)); y1 = int(len(rows) - 1 - np.argmax(rows[::-1]))
+    x0 = int(np.argmax(cols)); x1 = int(len(cols) - 1 - np.argmax(cols[::-1]))
+    return [x0, y0, x1, y1]
 
 
 # ---------------------------------------------------------------------------

@@ -71,13 +71,10 @@ def _onehot_pair(pos, n_src, dtype):
     [0, n_src) lose those taps (zero border, cv2 BORDER_CONSTANT).
     """
     pos = _finite_or_far(pos)[:, :, None, :]         # [N, L, 1, V]
-    j0 = jnp.floor(pos)
-    f = pos - j0
     j = jnp.arange(n_src, dtype=jnp.float32)[None, None, :, None]
-    return (
-        (j == j0).astype(dtype) * (1.0 - f).astype(dtype)
-        + (j == j0 + 1).astype(dtype) * f.astype(dtype)
-    )
+    # hat(pos - j) = the bilinear pair in one expression: 1-f at floor(pos),
+    # f at floor(pos)+1, zero elsewhere (incl. both taps out of range).
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos - j)).astype(dtype)
 
 
 def _rot90_source(img):
@@ -180,21 +177,30 @@ def warp_perspective_matmul(img, m_dst_to_src, out_h, out_w,
 
 
 def warp_perspective_matmul_multi(src_stack, src_idx, m_dst_to_src,
-                                  out_h, out_w, part_chunk=5,
+                                  out_h, out_w, part_chunk=None,
                                   w_dtype=jnp.float32,
-                                  precision=lax.Precision.HIGHEST):
+                                  precision=lax.Precision.HIGHEST,
+                                  weight_budget_bytes=768 * 1024 ** 2):
     """Drop-in for data.device_warp.warp_perspective_multi.
 
     src_stack: [B, S, H, W, C] candidate sources; src_idx: [P] static ints;
     m_dst_to_src: [B, P, 3, 3]. Returns [B, P, out_h, out_w, C].
 
     Parts are processed in static chunks so the per-pass one-hot weight
-    tensors stay ~100 MB transients instead of materializing for all
-    B*P samples at once.
+    tensors stay bounded transients instead of materializing for all B*P
+    samples at once. part_chunk=None sizes chunks so the larger pass's
+    weight tensor stays under `weight_budget_bytes` (the cut warps read a
+    512^2 source: one sample's pass-1 weights alone are 512*512*out_w
+    elements — ~134 MB fp32 at out_w=128).
     """
     b, s, sh, sw, c = src_stack.shape
     p = m_dst_to_src.shape[1]
     src_idx = np.asarray(src_idx)
+    if part_chunk is None:
+        bytes_per = jnp.dtype(w_dtype).itemsize * max(
+            sh * sw * out_w,            # pass-1 weights per sample
+            out_w * sh * out_h)         # pass-2 weights per sample
+        part_chunk = max(1, min(p, int(weight_budget_bytes // (bytes_per * b))))
     outs = []
     for lo in range(0, p, part_chunk):
         hi = min(lo + part_chunk, p)

@@ -62,9 +62,11 @@ def host_prepare(person, clothes, mode, use_sleeve_mask=True):
     sleeve_src = person if mode == "lower" else clothes
     sleeve = pp.sleeve_mask_from(sleeve_src) if use_sleeve_mask else None
 
-    mu, ml, pinv, valid = host_matrices_for_pair(
-        upper_src.keypoints, lower_src.keypoints, person.keypoints)
-    tile_offsets10, tiles_fit = paste_tile_layout(pinv, valid[:, 2])
+    mu, ml, pinv, valid, pfwd = host_matrices_for_pair(
+        upper_src.keypoints, lower_src.keypoints, person.keypoints,
+        return_paste_fwd=True)
+    tile_offsets10, tiles_fit = paste_tile_layout(
+        pinv, valid[:, 2], paste_fwd_parts=pfwd)
     # offsets for the 15-slot (upper x10 + lower x5) device layout
     tile_offsets = np.concatenate(
         [tile_offsets10, tile_offsets10[list(LOWER_PARTS)]], axis=0)
