@@ -71,6 +71,16 @@ def parse_args(argv=None):
     p.add_argument("--remat", type=_strict_bool, default=True,
                    help="rematerialize synthesis blocks in backward "
                         "(True/False; default matches TrainConfig.remat)")
+    p.add_argument("--remat-min-res", type=int, default=0,
+                   help="only remat G blocks at resolution >= this "
+                        "(small-res blocks store ~0.5GB at batch 8 but "
+                        "skip their backward recompute)")
+    p.add_argument("--spade-inner-remat", type=_strict_bool, default=None,
+                   help="remat SPADE norms inside resblocks (True needed "
+                        "for batch-16 HBM; default follows --remat)")
+    p.add_argument("--d-remat", type=_strict_bool, default=None,
+                   help="remat discriminator forwards (default follows "
+                        "--remat)")
     p.add_argument("--ada-impl", default="auto",
                    choices=["auto", "twopass", "gather"],
                    help="ADA geometric warp: TPU-native two-pass or the "
@@ -130,6 +140,9 @@ def build_config(args):
         d_num_bf16_res=args.d_bf16_res,
         g_num_bf16_res=args.g_bf16_res,
         remat=args.remat,
+        remat_min_res=args.remat_min_res,
+        spade_inner_remat=args.spade_inner_remat,
+        d_remat=args.d_remat,
         grad_accum=args.grad_accum,
     )
     if args.batch is not None:
