@@ -156,16 +156,15 @@ def skin_average_map(image, parsing):
         skin_median_color(image, parsing), image.shape[:2] + (3,))
 
 
+_RETAIN_LUT = np.zeros(256, np.uint8)
+_RETAIN_LUT[[18, 19, 1, 2, 4, 13]] = 1
+
+
 def retain_mask_of(record):
-    """Shoes + head + palms mask (dataset.py:2055-2060)."""
+    """Shoes + head + palms mask (dataset.py:2055-2060); one LUT pass for
+    the six parsing labels."""
     p = record.parsing
-    shoes = (p == 18).astype(np.uint8) + (p == 19).astype(np.uint8)
-    head = (
-        (p == 1).astype(np.uint8) + (p == 2).astype(np.uint8)
-        + (p == 4).astype(np.uint8) + (p == 13).astype(np.uint8)
-    )
-    palm = get_palm_mask(record.keypoints, p)
-    return shoes + palm + head
+    return _RETAIN_LUT[p] + get_palm_mask(record.keypoints, p)
 
 
 def mask_to_bbox(mask):
