@@ -97,7 +97,12 @@ def main():
     from pasta_tpu.models import Generator
     from pasta_tpu.serving import assemble_inputs_device, ingest_device
 
-    model = Generator()
+    # Serving mixed precision: run the generator's top-N-resolution blocks
+    # in bf16 (PASTA_BENCH_G_BF16, default 3 — mirrors the reference's
+    # fp16-top-3 discriminator policy; its G inference is fp32, kept as the
+    # parity surface in cli/test.py and reported here as a secondary field).
+    g_bf16 = int(os.environ.get("PASTA_BENCH_G_BF16", "3"))
+    model = Generator(num_bf16_res=g_bf16)
     use_fixtures = os.path.isdir(FIXTURES)
 
     # NOTE: over the axon tunnel block_until_ready does not synchronize —
@@ -169,6 +174,7 @@ def main():
         "value": round(device_ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(device_ips / BASELINE_IMAGES_PER_SEC, 3),
+        "g_bf16_res": g_bf16,
         **components,
     }
     if use_fixtures:

@@ -33,6 +33,9 @@ def parse_args(argv=None):
                    action="store_true", default=True)
     p.add_argument("--no-sleeve-mask", dest="use_sleeve_mask",
                    action="store_false")
+    p.add_argument("--g-bf16-res", type=int, default=0,
+                   help="run the generator's top-N-resolution blocks in "
+                        "bf16 (0 = fp32, the reference inference numerics)")
     p.add_argument("--noise-mode", default="const",
                    choices=["const", "random", "none"])
     p.add_argument("--seed", type=int, default=0)
@@ -77,7 +80,7 @@ def main(argv=None):
         use_sleeve_mask=args.use_sleeve_mask)
     print(f"{len(dataset)} pairs, part={args.testpart}")
 
-    model = Generator()
+    model = Generator(num_bf16_res=args.g_bf16_res)
 
     first_batch = [dataset[i] for i in range(min(args.batchsize, len(dataset)))]
     inputs0, _ = to_model_inputs(first_batch)

@@ -24,14 +24,18 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(impl, steps, res, batch, report_every):
+def run(impl, steps, res, batch, report_every, channel_base=32768,
+        cpu=False):
     import jax
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
     from pasta_tpu.train.config import TrainConfig
     from pasta_tpu.train.state import init_state, example_batch
     from pasta_tpu.train.steps import make_train_step
 
     cfg = TrainConfig(
         resolution=res, batch_size=batch, data_axis_size=1,
+        channel_base=channel_base, channel_max=min(512, channel_base // 4),
         mbstd_group_size=min(4, batch), remat=True,
         d_num_bf16_res=3, g_num_bf16_res=3, r1_batch_shrink=2,
         use_ada=True, ada_impl=impl,
@@ -74,12 +78,19 @@ def main():
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--report-every", type=int, default=25)
+    ap.add_argument("--channel-base", type=int, default=32768,
+                    help="model width (use e.g. 2048 for a CPU-runnable "
+                         "smoke model; the augment path is unaffected)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (twopass runs the Pallas "
+                         "kernels in interpret mode)")
     args = ap.parse_args()
 
     results = {}
     for impl in ("gather", "twopass"):
         results[impl] = run(impl, args.steps, args.res, args.batch,
-                            args.report_every)
+                            args.report_every,
+                            channel_base=args.channel_base, cpu=args.cpu)
 
     print("\n| step | ada_p gather | ada_p twopass | d gather | d twopass "
           "| g gather | g twopass |")
