@@ -48,9 +48,10 @@ def _fixture_host_batch():
     while len(items) < BATCH:
         items.append(items[-1])
     tiled = all(bool(it["tiles_fit"]) for it in items)
+    cut_windowed = tiled and all(bool(it["cut_fits"]) for it in items)
     batch = {k: jnp.asarray(np.stack([it[k] for it in items]))
-             for k in items[0] if k != "tiles_fit"}
-    return batch, tiled
+             for k in items[0] if k not in ("tiles_fit", "cut_fits")}
+    return batch, tiled, cut_windowed
 
 
 def _host_throughput(num_workers=8, reps=3):
@@ -121,7 +122,7 @@ def main():
         return (time.perf_counter() - t0) / N_ITERS
 
     if use_fixtures:
-        host_batch, tiled = _fixture_host_batch()
+        host_batch, tiled, cut_windowed = _fixture_host_batch()
         metric = "tryon_512px_serving_throughput"
 
         def ingest_body(acc, hb):
@@ -133,7 +134,8 @@ def main():
 
         def main_body(acc, fb):
             inputs = assemble_inputs_device(
-                _perturb(fb, acc), "upper", tiled=tiled)
+                _perturb(fb, acc), "upper", tiled=tiled,
+                cut_windowed=cut_windowed)
             img, finetune, parsing = model.apply(
                 variables, noise_mode="const", **inputs)
             return jnp.mean(finetune)

@@ -378,11 +378,46 @@ def paste_tile_layout(paste_m_inv_parts, part_valid_paste, res=512,
     return offsets, fits
 
 
+CUT_WINDOW = 320
+
+
+def cut_window_layout(cut_m_parts, valid, res=512, win=CUT_WINDOW,
+                      margin=8, patch=128):
+    """Host: per-part source-window origins for the windowed matmul cut.
+
+    cut_m_parts: [P, 3, 3] patch->image transforms (device dst->src
+    direction); valid: [P] bools. Projects the patch corners into the
+    source image; a window of `win` must cover the quad + margin.
+
+    Returns (offsets [P, 2] int32 (y, x), fits: bool).
+    """
+    corners = np.array(
+        [[0, 0, 1], [0, patch, 1], [patch, patch, 1], [patch, 0, 1]],
+        np.float64)
+    offsets = np.zeros((len(cut_m_parts), 2), np.int32)
+    fits = True
+    for i, m in enumerate(cut_m_parts):
+        if not valid[i]:
+            continue
+        proj = corners @ np.asarray(m, np.float64).T
+        xy = proj[:, :2] / np.maximum(np.abs(proj[:, 2:3]), 1e-9) * np.sign(
+            proj[:, 2:3])
+        x0 = np.floor(xy[:, 0].min()) - margin
+        x1 = np.ceil(xy[:, 0].max()) + margin
+        y0 = np.floor(xy[:, 1].min()) - margin
+        y1 = np.ceil(xy[:, 1].max()) + margin
+        if (x1 - x0) > win or (y1 - y0) > win:
+            fits = False
+        offsets[i] = (int(np.clip(y0, 0, res - win)),
+                      int(np.clip(x0, 0, res - win)))
+    return offsets, fits
+
+
 def normalize_patches_device_tiled(
     upper_img, lower_img, upper_mask, lower_mask, sleeve_mask,
     upper_cut_m, lower_cut_m, paste_m_inv, part_valid, tile_offsets,
     patch=128, erode_k=5, track_wo_sleeve=False, tile=PASTE_TILE,
-    warp_impl="gather",
+    warp_impl="gather", cut_window_offsets=None, cut_window=0,
 ):
     """Tiled-paste variant of normalize_patches_device.
 
@@ -412,7 +447,11 @@ def normalize_patches_device_tiled(
         [part_valid[:, :, 0], part_valid[:, lower_parts, 1]], axis=1
     ).astype(jnp.float32)
     warp_multi = _warp_multi(warp_impl)
-    cuts = warp_multi(src_stack, cut_src_idx, cut_m, patch, patch)
+    cut_kw = {}
+    if cut_window_offsets is not None and warp_multi is not warp_perspective_multi:
+        cut_kw = dict(src_window_offsets=cut_window_offsets,
+                      src_window=cut_window)
+    cuts = warp_multi(src_stack, cut_src_idx, cut_m, patch, patch, **cut_kw)
     cuts = cuts * cut_valid[:, :, None, None, None]
 
     # Fold the tile translation into the dst->src matrices:

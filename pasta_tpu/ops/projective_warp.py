@@ -176,11 +176,31 @@ def warp_perspective_matmul(img, m_dst_to_src, out_h, out_w,
     return jnp.transpose(out, (0, 2, 3, 1)).astype(img.dtype)
 
 
+def _extract_windows(sel_p, offsets, win):
+    """Per-part source windows via integer one-hot matmuls (no gathers).
+
+    sel_p: [B, K, C, H, W] planar per-part sources; offsets: [B, K, 2]
+    int32 (y0, x0), clamped by the caller to [0, H-win]/[0, W-win].
+    Returns [B, K, C, win, win].
+    """
+    b, k, c, h, w = sel_p.shape
+    off = offsets.astype(jnp.float32)
+    rows = off[:, :, 0:1] + jnp.arange(win, dtype=jnp.float32)[None, None, :]
+    cols = off[:, :, 1:2] + jnp.arange(win, dtype=jnp.float32)[None, None, :]
+    wy = (rows[:, :, :, None]
+          == jnp.arange(h, dtype=jnp.float32)[None, None, None, :])
+    wx = (cols[:, :, :, None]
+          == jnp.arange(w, dtype=jnp.float32)[None, None, None, :])
+    out = jnp.einsum("bkwy,bkcyx->bkcwx", wy.astype(sel_p.dtype), sel_p)
+    return jnp.einsum("bkvx,bkcwx->bkcwv", wx.astype(sel_p.dtype), out)
+
+
 def warp_perspective_matmul_multi(src_stack, src_idx, m_dst_to_src,
                                   out_h, out_w, part_chunk=None,
                                   w_dtype=jnp.float32,
                                   precision=lax.Precision.HIGHEST,
-                                  weight_budget_bytes=768 * 1024 ** 2):
+                                  weight_budget_bytes=768 * 1024 ** 2,
+                                  src_window_offsets=None, src_window=0):
     """Drop-in for data.device_warp.warp_perspective_multi.
 
     src_stack: [B, S, H, W, C] candidate sources; src_idx: [P] static ints;
@@ -192,14 +212,23 @@ def warp_perspective_matmul_multi(src_stack, src_idx, m_dst_to_src,
     weight tensor stays under `weight_budget_bytes` (the cut warps read a
     512^2 source: one sample's pass-1 weights alone are 512*512*out_w
     elements — ~134 MB fp32 at out_w=128).
+
+    src_window_offsets/src_window: optional per-part source windowing for
+    large sources — [B, P, 2] int32 (y0, x0) origins of src_window-sized
+    crops covering each part's source quad (host-computed; caller must
+    fall back when a quad exceeds the window). The crop is two integer
+    one-hot matmuls and shrinks the dense pass weights by
+    (H/src_window)*(W/src_window).
     """
     b, s, sh, sw, c = src_stack.shape
     p = m_dst_to_src.shape[1]
     src_idx = np.asarray(src_idx)
+    use_window = src_window_offsets is not None and 0 < src_window < min(sh, sw)
+    eff_h, eff_w = (src_window, src_window) if use_window else (sh, sw)
     if part_chunk is None:
         bytes_per = jnp.dtype(w_dtype).itemsize * max(
-            sh * sw * out_w,            # pass-1 weights per sample
-            out_w * sh * out_h)         # pass-2 weights per sample
+            eff_h * eff_w * out_w,      # pass-1 weights per sample
+            out_w * eff_h * out_h)      # pass-2 weights per sample
         part_chunk = max(1, min(p, int(weight_budget_bytes // (bytes_per * b))))
     outs = []
     for lo in range(0, p, part_chunk):
@@ -208,8 +237,20 @@ def warp_perspective_matmul_multi(src_stack, src_idx, m_dst_to_src,
         # [B, k, H, W, C] — static source selection (src_idx is host data)
         sel = jnp.stack([src_stack[:, int(i)] for i in idx], axis=1)
         k = hi - lo
-        flat = sel.reshape(b * k, sh, sw, c)
-        mats = m_dst_to_src[:, lo:hi].reshape(b * k, 3, 3)
+        mats = m_dst_to_src[:, lo:hi].reshape(b * k, 3, 3).astype(jnp.float32)
+        if use_window:
+            off = jnp.clip(src_window_offsets[:, lo:hi].astype(jnp.int32),
+                           0, max(sh, sw) - src_window)
+            sel_p = jnp.transpose(sel, (0, 1, 4, 2, 3))
+            wins = _extract_windows(sel_p, off, src_window)  # [B,k,C,w,w]
+            flat = jnp.transpose(
+                wins.reshape(b * k, c, src_window, src_window), (0, 2, 3, 1))
+            # source coords shift by the crop origin: rows 0/1 -= off * row2
+            offf = off.reshape(b * k, 2).astype(jnp.float32)
+            mats = mats.at[:, 0].add(-offf[:, 1:2] * mats[:, 2])
+            mats = mats.at[:, 1].add(-offf[:, 0:1] * mats[:, 2])
+        else:
+            flat = sel.reshape(b * k, sh, sw, c)
         out = warp_perspective_matmul(
             flat, mats, out_h, out_w, w_dtype=w_dtype, precision=precision)
         outs.append(out.reshape(b, k, out_h, out_w, c))

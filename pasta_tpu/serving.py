@@ -28,7 +28,8 @@ from .data import preprocess as pp
 from .data.device_warp import (
     normalize_patches_device, normalize_patches_device_tiled,
     host_matrices_for_pair, erode, bound_from_mask_top,
-    zero_bound_above_mask_bottom, paste_tile_layout, LOWER_PARTS)
+    zero_bound_above_mask_bottom, paste_tile_layout, cut_window_layout,
+    CUT_WINDOW, LOWER_PARTS)
 from .models import Generator
 
 
@@ -70,6 +71,11 @@ def host_prepare(person, clothes, mode, use_sleeve_mask=True):
     # offsets for the 15-slot (upper x10 + lower x5) device layout
     tile_offsets = np.concatenate(
         [tile_offsets10, tile_offsets10[list(LOWER_PARTS)]], axis=0)
+    # source windows for the matmul cut warps, same 15-slot layout
+    cw_u, cut_fits_u = cut_window_layout(mu, valid[:, 0])
+    cw_l, cut_fits_l = cut_window_layout(
+        ml[list(LOWER_PARTS)], valid[list(LOWER_PARTS), 1])
+    cut_window_offsets = np.concatenate([cw_u, cw_l], axis=0)
 
     # Host-side conditioning scalars (keypoint/bbox logic, preprocess_pair
     # parity). The warp-dependent parts of the bound (upper garment bottom,
@@ -140,6 +146,8 @@ def host_prepare(person, clothes, mode, use_sleeve_mask=True):
         bound=bound.astype(np.uint8),                               # u8 {0,255}
         tile_offsets=tile_offsets.astype(np.int32),
         tiles_fit=np.asarray(tiles_fit),
+        cut_window_offsets=cut_window_offsets.astype(np.int32),
+        cut_fits=np.asarray(bool(cut_fits_u and cut_fits_l)),
         dress_transfer=np.asarray(
             0.0 if (mode == "full" and clothes_cls["dresses"].sum() > 0)
             else 1.0, np.float32),
@@ -221,7 +229,8 @@ def ingest_device(host: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
 
 
 def assemble_inputs_device(host: Dict[str, jnp.ndarray], mode: str,
-                           tiled: bool = False, warp_impl: str = "auto"):
+                           tiled: bool = False, warp_impl: str = "auto",
+                           cut_windowed: bool = False):
     """Device: warps + assembly -> generator input dict. Jit-traceable.
 
     tiled=True uses the fixed-tile paste path (4x less gather work); callers
@@ -243,12 +252,17 @@ def assemble_inputs_device(host: Dict[str, jnp.ndarray], mode: str,
         host["label"] = host["label_cls"].astype(jnp.float32) * 127.5
     erode_k = 8 if mode == "upper" else 5
     if tiled:
+        cut_kw = {}
+        if cut_windowed and "cut_window_offsets" in host:
+            cut_kw = dict(cut_window_offsets=host["cut_window_offsets"],
+                          cut_window=CUT_WINDOW)
         norm = normalize_patches_device_tiled(
             host["upper_img"], host["lower_img"],
             host["upper_mask"], host["lower_mask"], host["sleeve"],
             host["upper_cut_m"], host["lower_cut_m"], host["paste_m_inv"],
             host["part_valid"], host["tile_offsets"], erode_k=erode_k,
-            track_wo_sleeve=(mode == "upper"), warp_impl=warp_impl)
+            track_wo_sleeve=(mode == "upper"), warp_impl=warp_impl,
+            **cut_kw)
     else:
         norm = normalize_patches_device(
             host["upper_img"], host["lower_img"],
@@ -317,10 +331,12 @@ class TryonPipeline:
         self.mode = mode
         self.noise_mode = noise_mode
 
-        @functools.partial(jax.jit, static_argnames=("tiled",))
-        def _run(variables, host_batch, tiled=False):
+        @functools.partial(jax.jit,
+                           static_argnames=("tiled", "cut_windowed"))
+        def _run(variables, host_batch, tiled=False, cut_windowed=False):
             inputs = assemble_inputs_device(
-                host_batch, mode, tiled=tiled, warp_impl=warp_impl)
+                host_batch, mode, tiled=tiled, warp_impl=warp_impl,
+                cut_windowed=cut_windowed)
             img, finetune, parsing = self.model.apply(
                 variables, noise_mode=noise_mode, **inputs)
             return finetune
@@ -331,12 +347,15 @@ class TryonPipeline:
         return host_prepare(person, clothes, self.mode, use_sleeve_mask)
 
     def run_batch(self, host_items):
-        # tiled fast path when every item's part quads fit their tiles
+        # tiled / windowed fast paths when every item's quads fit
         tiled = all(bool(it["tiles_fit"]) for it in host_items)
+        cut_windowed = tiled and all(
+            bool(it.get("cut_fits", False)) for it in host_items)
         batch = {
             k: jnp.asarray(np.stack([it[k] for it in host_items]))
-            for k in host_items[0] if k != "tiles_fit"
+            for k in host_items[0] if k not in ("tiles_fit", "cut_fits")
         }
         # two-stage: uint8 transfer + boundary-pinning cast program, then
         # the main warp+forward program (see ingest_device).
-        return self._run(self.variables, ingest_device(batch), tiled=tiled)
+        return self._run(self.variables, ingest_device(batch), tiled=tiled,
+                         cut_windowed=cut_windowed)

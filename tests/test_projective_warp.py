@@ -172,3 +172,53 @@ class TestMultiApi:
 
         g = jax.grad(f)(src)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestSourceWindow:
+    def test_windowed_matches_full(self):
+        """Windowed cut (host-style offsets covering each quad) must equal
+        the unwindowed matmul warp exactly (integer crop + translated H)."""
+        rng = np.random.RandomState(9)
+        stack = rng.uniform(0, 255, (2, 2, 128, 128, 3)).astype(np.float32)
+        src_idx = np.array([0, 1, 0])
+        # quads confined to a 64px region so a 64-window always fits
+        mats = []
+        for b in range(2):
+            row = []
+            for _ in range(3):
+                m = _rand_h(rng, src=48, out=32, scale_lo=0.15, scale_hi=0.28)
+                # shift the quad into a random part of the 128 source
+                t = np.eye(3)
+                t[0, 2], t[1, 2] = rng.randint(0, 70), rng.randint(0, 70)
+                row.append(t @ m)
+            mats.append(np.stack(row))
+        mats = np.stack(mats).astype(np.float32)
+
+        # host-side window layout
+        from pasta_tpu.data.device_warp import cut_window_layout
+        offs = np.zeros((2, 3, 2), np.int32)
+        fits = True
+        for b in range(2):
+            o, f = cut_window_layout(mats[b], [True] * 3, res=128, win=64,
+                                     margin=4, patch=32)
+            offs[b] = o
+            fits = fits and f
+        assert fits
+
+        full = np.asarray(warp_perspective_matmul_multi(
+            jnp.asarray(stack), src_idx, jnp.asarray(mats), 32, 32))
+        win = np.asarray(warp_perspective_matmul_multi(
+            jnp.asarray(stack), src_idx, jnp.asarray(mats), 32, 32,
+            src_window_offsets=jnp.asarray(offs), src_window=64))
+        # identical sampling; tolerance covers fp32 re-association in the
+        # translated position polynomials
+        np.testing.assert_allclose(win, full, atol=1e-2)
+
+    def test_oversize_quad_reports_no_fit(self):
+        from pasta_tpu.data.device_warp import cut_window_layout
+        m = np.eye(3, dtype=np.float32)[None] * 1.0
+        m[0, 0, 0] = 4.0  # 32-patch maps from a 128-wide quad
+        m[0, 1, 1] = 4.0
+        _, fits = cut_window_layout(m, [True], res=256, win=64, margin=4,
+                                    patch=32)
+        assert not fits
