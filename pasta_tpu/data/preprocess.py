@@ -54,6 +54,30 @@ def _pad_width(h, w):
     return left, h - w - left
 
 
+def _decode_label_plane(root, rel):
+    """Parsing-map decode with cv2.imread-channel-0 semantics.
+
+    Grayscale PNGs (the common case — PNG IHDR color type 0) go through the
+    native libpng path (single plane, no BGR expansion); anything else
+    falls back to cv2 so palette files keep the reference's
+    palette-expanded-blue-channel behavior (dataset.py reads parsing with
+    cv2.imread and takes [:, :, 0]).
+    """
+    data = root.read(rel)
+    if len(data) > 25 and data[25] == 0:      # IHDR color type: grayscale
+        from .. import native
+        if native.available():
+            try:
+                plane = np.asarray(native.decode_image(data))
+                if plane.ndim == 2:
+                    return plane[..., None]
+            except ValueError:
+                pass
+    import cv2
+    img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    return None if img is None else img[..., 0:1]
+
+
 def load_person(root, image_name, with_garment_parsing=False):
     """Load image + keypoints + parsing (+garment parsing), pad to square.
 
@@ -79,16 +103,16 @@ def load_person(root, image_name, with_garment_parsing=False):
     keypoints = keypoints.copy()
     keypoints[:, 0] += left
 
-    parsing = root.decode_cv2(f"parsing/{stem}.png")[..., 0:1]
+    parsing = _decode_label_plane(root, f"parsing/{stem}.png")
     parsing = np.pad(parsing, ((0, 0), (left, right), (0, 0)), "constant",
                      constant_values=(0, 0))
 
     garment_parsing = None
     if with_garment_parsing and root.exists(f"garment_parsing/{stem}.png"):
-        gp = root.decode_cv2(f"garment_parsing/{stem}.png")
+        gp = _decode_label_plane(root, f"garment_parsing/{stem}.png")
         if gp is not None:
             garment_parsing = np.pad(
-                gp[..., 0:1], ((0, 0), (left, right), (0, 0)), "constant",
+                gp, ((0, 0), (left, right), (0, 0)), "constant",
                 constant_values=(0, 0))
     return PersonRecord(image_name, image, pose_img, keypoints, parsing,
                         garment_parsing)
