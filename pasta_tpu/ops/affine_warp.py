@@ -27,6 +27,10 @@ reference; fractional/rotated transforms compose two linear interpolations
 augmentation quality, not bit parity (tests assert exactness where exact and
 PSNR elsewhere). Extreme parameter tails (|line slope| beyond the static tap
 window, |log2 scale| beyond the static wide-buffer span) are clamped.
+Training-equivalence was measured end-to-end (docs/ada_twopass_ab.md): 200
+smoke-config steps with identical seeds per implementation give max
+|ada_p delta| 0.0048 and an identical final ada_p — the ADA controller
+trajectory is unchanged.
 
 The pointwise-gather path ships alongside (`bilinear_warp_gather`) as the
 bit-parity reference (used by the ADA debug_percentile parity tests) and as
