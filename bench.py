@@ -33,6 +33,13 @@ BATCH = 8
 N_ITERS = 20
 
 
+"""Serving person-conditioning stage: "device" (default) computes the pose
+raster + palm/retain masks + skin median on-chip inside the ingest program
+(data/device_cond.py); "host" is the reference-parity host path."""
+COND = os.environ.get("PASTA_BENCH_COND", "device")
+_POSE_RASTER = "device" if COND == "device" else "host"
+
+
 def _fixture_host_batch():
     from pasta_tpu.data import preprocess as pp
     from pasta_tpu.serving import host_prepare
@@ -41,10 +48,11 @@ def _fixture_host_batch():
         pairs = [line.split() for line in f if line.strip()][:BATCH]
     items = []
     for clothes_name, person_name in pairs:
-        person = pp.load_person(FIXTURES, person_name)
+        person = pp.load_person(FIXTURES, person_name,
+                                pose_raster=_POSE_RASTER)
         clothes = pp.load_person(FIXTURES, clothes_name,
                                  with_garment_parsing=True)
-        items.append(host_prepare(person, clothes, "upper"))
+        items.append(host_prepare(person, clothes, "upper", cond=COND))
     while len(items) < BATCH:
         items.append(items[-1])
     tiled = all(bool(it["tiles_fit"]) for it in items)
@@ -67,10 +75,11 @@ def _host_throughput(num_workers=8, reps=3):
 
     def prep(pair):
         clothes_name, person_name = pair
-        person = pp.load_person(FIXTURES, person_name)
+        person = pp.load_person(FIXTURES, person_name,
+                                pose_raster=_POSE_RASTER)
         clothes = pp.load_person(FIXTURES, clothes_name,
                                  with_garment_parsing=True)
-        return host_prepare(person, clothes, "upper")
+        return host_prepare(person, clothes, "upper", cond=COND)
 
     with concurrent.futures.ThreadPoolExecutor(num_workers) as pool:
         list(pool.map(prep, pairs))  # warmup (page cache, cv2 init)
@@ -177,6 +186,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(device_ips / BASELINE_IMAGES_PER_SEC, 3),
         "g_bf16_res": g_bf16,
+        "cond": COND,
         **components,
     }
     if use_fixtures:

@@ -43,10 +43,12 @@ class PersonRecord:
 
     name: str
     image: np.ndarray          # [512, 512, 3] uint8 (white-padded)
-    pose_img: np.ndarray       # [512, 512, 3] uint8 stick figure
+    pose_img: np.ndarray       # [512, 512, 3] uint8 stick figure, or None
+                               # when the raster is deferred to device
     keypoints: np.ndarray      # [18, 3] in padded coords
     parsing: np.ndarray        # [512, 512, 1] int
     garment_parsing: Optional[np.ndarray] = None  # [512, 512, 1] int or None
+    pose_params: Optional[dict] = None  # device_cond.pose_device_params
 
 
 def _pad_width(h, w):
@@ -78,7 +80,8 @@ def _decode_label_plane(root, rel):
     return None if img is None else img[..., 0:1]
 
 
-def load_person(root, image_name, with_garment_parsing=False):
+def load_person(root, image_name, with_garment_parsing=False,
+                pose_raster="host"):
     """Load image + keypoints + parsing (+garment parsing), pad to square.
 
     Mirrors the reference file layout (dataset.py:1979-1987): image/<name>,
@@ -86,6 +89,11 @@ def load_person(root, image_name, with_garment_parsing=False):
     garment_parsing/<name>.png. `root` is a directory path, a .zip path
     (dataset_tool output; reference zip semantics dataset.py:189-399), or a
     DataRoot.
+
+    pose_raster="device" skips the host stick-figure raster: the record
+    carries `pose_params` (device_cond.pose_device_params) for the on-device
+    raster instead and `pose_img` is None. Keypoint border validation is
+    identical in both modes.
     """
     root = as_root(root)
     img = root.decode_image(f"image/{image_name}")
@@ -95,11 +103,27 @@ def load_person(root, image_name, with_garment_parsing=False):
                    constant_values=(255, 255))
 
     stem = os.path.splitext(image_name)[0]
-    pose_img, keypoints = load_keypoints(
-        root.open(f"keypoints/{stem}_keypoints.json"),
-        img_size=(h, w))
-    pose_img = np.pad(pose_img, ((0, 0), (left, right), (0, 0)), "constant",
-                      constant_values=(0, 0))
+    pose_params = None
+    if pose_raster == "device":
+        import json as _json
+
+        from .device_cond import pose_device_params
+
+        with root.open(f"keypoints/{stem}_keypoints.json") as f:
+            data = _json.load(f)
+        if len(data["people"]) == 0:
+            keypoints = np.zeros((18, 3))
+        else:
+            keypoints = np.array(
+                data["people"][0]["pose_keypoints_2d"]).reshape(-1, 3)
+        pose_params = pose_device_params(keypoints, h, w, left)  # mutates
+        pose_img = None
+    else:
+        pose_img, keypoints = load_keypoints(
+            root.open(f"keypoints/{stem}_keypoints.json"),
+            img_size=(h, w))
+        pose_img = np.pad(pose_img, ((0, 0), (left, right), (0, 0)),
+                          "constant", constant_values=(0, 0))
     keypoints = keypoints.copy()
     keypoints[:, 0] += left
 
@@ -115,7 +139,7 @@ def load_person(root, image_name, with_garment_parsing=False):
                 gp, ((0, 0), (left, right), (0, 0)), "constant",
                 constant_values=(0, 0))
     return PersonRecord(image_name, image, pose_img, keypoints, parsing,
-                        garment_parsing)
+                        garment_parsing, pose_params)
 
 
 def garment_class_masks(parsing):
@@ -150,6 +174,58 @@ def garment_class_masks(parsing):
                 tops += dresses
             dresses = dresses * 0
     return dict(tops=tops, dresses=dresses, pants=pants, skirt=skirt)
+
+
+def garment_class_routing(parsing):
+    """Count-based twin of garment_class_masks: which parsing labels end up
+    in each class, without materializing any mask.
+
+    The disambiguation cascade (dataset.py:2080-2107) only compares mask
+    SUMS, and every mask is a union of disjoint label sets — so routing is
+    fully determined by the label pixel counts (one bincount pass).
+
+    Returns dict class -> (frozenset(labels), pixel_count).
+    """
+    cnt = np.bincount(parsing.ravel(), minlength=256)
+    cls = {"tops": {5, 7}, "dresses": {6}, "pants": {9}, "skirt": {12}}
+    n = {k: int(sum(cnt[l] for l in v)) for k, v in cls.items()}
+
+    def merge(dst, src):
+        cls[dst] |= cls[src]
+        n[dst] += n[src]
+        cls[src] = set()
+        n[src] = 0
+
+    if n["pants"] > n["skirt"]:
+        merge("pants", "skirt")
+    else:
+        merge("skirt", "pants")
+    if n["dresses"] > 0:
+        if n["pants"] > 0:
+            merge("tops", "dresses")
+        elif n["dresses"] > n["tops"] + n["skirt"]:
+            merge("dresses", "tops")
+            merge("dresses", "skirt")
+        else:
+            if n["tops"] > n["skirt"]:
+                merge("skirt", "dresses")
+            else:
+                merge("tops", "dresses")
+    return {k: (frozenset(v), n[k]) for k, v in cls.items()}
+
+
+def label_lut(labels):
+    """[256] uint8 LUT: 1 on the given parsing labels."""
+    lut = np.zeros(256, np.uint8)
+    lut[list(labels)] = 1
+    return lut
+
+
+def bbox_of_labels(parsing, labels):
+    """mask_to_bbox of (parsing in labels) without materializing the mask."""
+    if not labels:
+        return None
+    return mask_to_bbox(label_lut(labels)[parsing])
 
 
 def sleeve_mask_from(record):

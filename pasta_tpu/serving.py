@@ -24,6 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .data import device_cond as dc
 from .data import preprocess as pp
 from .data.device_warp import (
     normalize_patches_device, normalize_patches_device_tiled,
@@ -33,35 +34,50 @@ from .data.device_warp import (
 from .models import Generator
 
 
-def host_prepare(person, clothes, mode, use_sleeve_mask=True):
+def host_prepare(person, clothes, mode, use_sleeve_mask=True, cond="host"):
     """Host side: masks, scalars, homographies. Returns a dict of small
-    numpy arrays (everything heavy stays un-warped full-res images)."""
+    numpy arrays (everything heavy stays un-warped full-res images).
+
+    cond="device" defers the person-conditioning rasters (pose stick
+    figure, palm/retain masks, skin median — data/device_cond.py) to the
+    device ingest program: the dict then carries the raw parsing plane and
+    the pose/palm scalar params instead of pose/retain_mask/skin_color.
+    Requires `person` loaded with pose_raster="device"."""
     assert mode in ("full", "upper", "lower")
-    person_cls = pp.garment_class_masks(person.parsing)
-    clothes_cls = pp.garment_class_masks(clothes.parsing)
+    assert cond in ("host", "device")
+    if cond == "device" and person.pose_params is None:
+        raise ValueError(
+            "host_prepare(cond='device') needs load_person("
+            "pose_raster='device') records (pose_params missing)")
+    # Garment-class disambiguation as label ROUTING (one bincount per
+    # parsing; garment_class_routing == garment_class_masks by counts), so
+    # the big masks never materialize on host in device mode.
+    person_rt = pp.garment_class_routing(person.parsing)
+    clothes_rt = pp.garment_class_routing(clothes.parsing)
 
     if mode == "full":
         upper_src, lower_src = clothes, clothes
-        upper_masks, lower_masks = clothes_cls, clothes_cls
+        upper_rt, lower_rt = clothes_rt, clothes_rt
     elif mode == "upper":
         upper_src, lower_src = clothes, person
-        upper_masks, lower_masks = clothes_cls, person_cls
+        upper_rt, lower_rt = clothes_rt, person_rt
     else:
         upper_src, lower_src = person, clothes
-        upper_masks, lower_masks = person_cls, clothes_cls
+        upper_rt, lower_rt = person_rt, clothes_rt
 
-    upper_mask = upper_masks["tops"] + upper_masks["dresses"]
-    lower_mask = lower_masks["skirt"] + lower_masks["pants"]
+    upper_labels = upper_rt["tops"][0] | upper_rt["dresses"][0]
+    lower_labels = lower_rt["skirt"][0] | lower_rt["pants"][0]
     dress_transfer = False
-    if mode == "upper" and clothes_cls["dresses"].sum() > 0:
-        lower_mask = lower_mask * 0
+    if mode == "upper" and clothes_rt["dresses"][1] > 0:
+        lower_labels = frozenset()
         dress_transfer = True
-    if mode == "lower" and person_cls["dresses"].sum() > 0:
-        lower_mask = lower_mask * 0
+    if mode == "lower" and person_rt["dresses"][1] > 0:
+        lower_labels = frozenset()
         dress_transfer = True
 
     sleeve_src = person if mode == "lower" else clothes
-    sleeve = pp.sleeve_mask_from(sleeve_src) if use_sleeve_mask else None
+    sleeve_gp = (sleeve_src.garment_parsing
+                 if use_sleeve_mask else None)
 
     mu, ml, pinv, valid, pfwd = host_matrices_for_pair(
         upper_src.keypoints, lower_src.keypoints, person.keypoints,
@@ -79,10 +95,13 @@ def host_prepare(person, clothes, mode, use_sleeve_mask=True):
 
     # Host-side conditioning scalars (keypoint/bbox logic, preprocess_pair
     # parity). The warp-dependent parts of the bound (upper garment bottom,
-    # full-mode composite top) are finished on device.
-    bound = np.zeros_like(lower_mask[..., 0:1], np.float64)
+    # full-mode composite top) are finished on device. bound[ub:] slice
+    # semantics normalized to a start row (negative ub wraps like a python
+    # slice; >= canvas height -> empty).
+    res = person.parsing.shape[0]
+    bound_row = res
     if mode == "upper":
-        lower_bbox = pp.mask_to_bbox(lower_mask.copy())
+        lower_bbox = pp.bbox_of_labels(lower_src.parsing, lower_labels)
         lhip, rhip = person.keypoints[11], person.keypoints[8]
         ub = None
         if lhip[2] > 0.05 and rhip[2] > 0.05:
@@ -94,63 +113,98 @@ def host_prepare(person, clothes, mode, use_sleeve_mask=True):
         elif lower_bbox is not None:
             ub = lower_bbox[1]
         if ub is not None and not dress_transfer:
-            bound[ub:, ...] += 255
+            bound_row = ub if ub >= 0 else max(res + ub, 0)
     elif mode == "lower":
-        lower_bbox = pp.mask_to_bbox(
-            (person_cls["skirt"] + person_cls["pants"]).copy())
+        lower_bbox = pp.bbox_of_labels(
+            person.parsing,
+            person_rt["skirt"][0] | person_rt["pants"][0])
         if lower_bbox is not None:
-            bound[lower_bbox[1]:, ...] += 255
+            bound_row = lower_bbox[1]
     # full mode: bound built on device from the composite (unless dress)
 
     # Lower-garment class label map (preprocess_pair parity).
     if mode == "upper":
-        pants, skirt = lower_masks["pants"], lower_masks["skirt"]
-        dress = clothes_cls["dresses"]
+        pants_n, skirt_n = lower_rt["pants"][1], lower_rt["skirt"][1]
+        dress_n = clothes_rt["dresses"][1]
     elif mode == "lower":
-        pants, skirt = lower_masks["pants"], lower_masks["skirt"]
-        dress = person_cls["dresses"]
+        pants_n, skirt_n = lower_rt["pants"][1], lower_rt["skirt"][1]
+        dress_n = person_rt["dresses"][1]
     else:
-        pants, skirt, dress = (
-            clothes_cls["pants"], clothes_cls["skirt"], clothes_cls["dresses"])
+        pants_n, skirt_n, dress_n = (
+            clothes_rt["pants"][1], clothes_rt["skirt"][1],
+            clothes_rt["dresses"][1])
     if dress_transfer:
-        pants, skirt = pants * 0, skirt * 0
-    if pants.sum() > 0:
+        pants_n = skirt_n = 0
+    if pants_n > 0:
         cls = 0
-    elif skirt.sum() > 0:
+    elif skirt_n > 0:
         cls = 1
-    elif dress.sum() > 0:
+    elif dress_n > 0:
         cls = 2
     else:
         cls = 1
-    # the {0, 1/2, 1}*255 lower_label_map is reconstructed on device
-    label_cls = np.full_like(lower_mask, cls, np.uint8)
 
-    # Everything big ships as uint8 (4x less host work + transfer than f32;
-    # the device program casts — assemble_inputs_device). skin is the [3]
+    common = dict(
+        upper_cut_m=mu, lower_cut_m=ml, paste_m_inv=pinv, part_valid=valid,
+        image=person.image,                                         # u8
+        tile_offsets=tile_offsets.astype(np.int32),
+        tiles_fit=np.asarray(tiles_fit),
+        cut_window_offsets=cut_window_offsets.astype(np.int32),
+        cut_fits=np.asarray(bool(cut_fits_u and cut_fits_l)),
+        dress_transfer=np.asarray(
+            0.0 if (mode == "full" and clothes_rt["dresses"][1] > 0)
+            else 1.0, np.float32),
+    )
+
+    if cond == "device":
+        # Lean shipping: raw u8 planes + per-item routing LUTs and scalar
+        # rows; every mask/multiply/raster happens in the device ingest
+        # program (compute_device_cond).
+        return dict(
+            **common,
+            parsing=person.parsing.astype(np.uint8),                # u8
+            upper_src_image=upper_src.image,                        # u8
+            lower_src_image=lower_src.image,                        # u8
+            upper_src_parsing=upper_src.parsing.astype(np.uint8),   # u8
+            lower_src_parsing=lower_src.parsing.astype(np.uint8),   # u8
+            upper_lut=pp.label_lut(upper_labels),                   # [256] u8
+            lower_lut=pp.label_lut(lower_labels),                   # [256] u8
+            sleeve_parsing=(
+                sleeve_gp.astype(np.uint8) if sleeve_gp is not None
+                else np.zeros_like(person.parsing, np.uint8)),      # u8
+            label_cls=np.asarray(cls, np.uint8),                    # scalar
+            bound_row=np.asarray(bound_row, np.int32),              # scalar
+            **{k: np.asarray(v) for k, v in person.pose_params.items()},
+            **{k: np.asarray(v)
+               for k, v in dc.palm_device_params(person.keypoints).items()},
+        )
+
+    # Host path (reference-parity oracle): materialize the masks from the
+    # routing LUTs (identical to garment_class_masks unions) and rasterize
+    # the conditioning on host. Everything big ships as uint8 (4x less host
+    # work + transfer than f32; the device program casts). skin is the [3]
     # median color, broadcast on device instead of materializing a
     # [H, W, 3] map per item on host.
+    upper_mask = pp.label_lut(upper_labels)[upper_src.parsing]
+    lower_mask = pp.label_lut(lower_labels)[lower_src.parsing]
+    sleeve = pp.sleeve_mask_from(sleeve_src) if use_sleeve_mask else None
+    bound = np.zeros((res, res, 1), np.uint8)
+    bound[bound_row:, ...] = 255
     return dict(
+        **common,
         upper_img=upper_mask * upper_src.image,                     # u8
         lower_img=lower_mask * lower_src.image,                     # u8
         upper_mask=upper_mask * np.uint8(255),                      # u8
         lower_mask=lower_mask * np.uint8(255),                      # u8
         sleeve=(sleeve if sleeve is not None
                 else np.zeros_like(upper_mask)),                    # u8 {0,1}
-        upper_cut_m=mu, lower_cut_m=ml, paste_m_inv=pinv, part_valid=valid,
-        image=person.image,                                         # u8
         pose=person.pose_img,                                       # u8
         retain_mask=pp.retain_mask_of(person),                      # u8 {0,1}
         skin_color=np.asarray(
-            pp.skin_median_color(person.image, person.parsing), np.float32),
-        label_cls=label_cls,                                        # u8 {0,1,2}
-        bound=bound.astype(np.uint8),                               # u8 {0,255}
-        tile_offsets=tile_offsets.astype(np.int32),
-        tiles_fit=np.asarray(tiles_fit),
-        cut_window_offsets=cut_window_offsets.astype(np.int32),
-        cut_fits=np.asarray(bool(cut_fits_u and cut_fits_l)),
-        dress_transfer=np.asarray(
-            0.0 if (mode == "full" and clothes_cls["dresses"].sum() > 0)
-            else 1.0, np.float32),
+            pp.skin_median_color(person.image, person.parsing),
+            np.float32),
+        label_cls=np.full((res, res, 1), cls, np.uint8),            # u8
+        bound=bound,                                                # u8 {0,255}
     )
 
 
@@ -207,6 +261,60 @@ def _zero_conflicts(norm):
 _INGEST_F32_KEYS = ("upper_img", "lower_img", "upper_mask", "lower_mask",
                     "sleeve", "image", "pose", "retain_mask", "bound")
 
+_DEVICE_COND_KEYS = ("parsing", "limb_pts", "limb_valid", "joint_pts",
+                     "joint_valid", "pose_xlim", "palm_quads", "palm_valid")
+
+
+_GARMENT_LABELS = (5, 6, 7, 9, 12)  # tops/dresses/pants/skirt sources
+
+
+def compute_device_cond(host: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Device conditioning: raw parsing/image planes + scalar params ->
+    every host-mode conditioning array (pose, retain_mask, skin_color,
+    masked garment streams, label/bound planes).
+
+    Jit-traceable twin of host_prepare's host branch — see
+    data/device_cond.py for the raster/reduce numerics. Per-item label
+    LUTs are evaluated as comparisons over the five garment source labels
+    (a 512^2 index gather would be scalar-bound on TPU)."""
+    out = dict(host)
+    parsing = out.pop("parsing")
+    pose = dc.draw_pose_device(
+        out.pop("limb_pts"), out.pop("limb_valid"),
+        out.pop("joint_pts"), out.pop("joint_valid"), out.pop("pose_xlim"))
+    palm = dc.palm_mask_device(
+        out.pop("palm_quads"), out.pop("palm_valid"), parsing)
+    out["pose"] = pose
+    out["retain_mask"] = dc.retain_mask_device(parsing, palm)
+    out["skin_color"] = dc.skin_median_device(host["image"], parsing)
+
+    def lut_mask(lut, p):
+        m = jnp.zeros(p.shape, jnp.float32)
+        for lbl in _GARMENT_LABELS:
+            m = m + (lut[:, lbl].astype(jnp.float32)[:, None, None, None]
+                     * (p == lbl))
+        return m
+
+    up = lut_mask(out.pop("upper_lut"), out.pop("upper_src_parsing"))
+    low = lut_mask(out.pop("lower_lut"), out.pop("lower_src_parsing"))
+    out["upper_img"] = up * out.pop("upper_src_image").astype(jnp.float32)
+    out["lower_img"] = low * out.pop("lower_src_image").astype(jnp.float32)
+    out["upper_mask"] = up * 255.0
+    out["lower_mask"] = low * 255.0
+    gp = out.pop("sleeve_parsing")
+    out["sleeve"] = ((gp == 10) | (gp == 11)).astype(jnp.float32)
+
+    b, h = parsing.shape[0], parsing.shape[1]
+    cls = out.pop("label_cls").astype(jnp.float32)
+    out["label"] = jnp.broadcast_to(
+        (cls * 127.5)[:, None, None, None], (b, h, h, 1))
+    row = out.pop("bound_row")
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h,), 0)
+    out["bound"] = jnp.broadcast_to(
+        ((yy[None, :] >= row[:, None]).astype(jnp.float32)
+         * 255.0)[:, :, None, None], (b, h, h, 1))
+    return out
+
 
 @jax.jit
 def ingest_device(host: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -218,13 +326,20 @@ def ingest_device(host: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     warp gathers (gather output row index in the lane dim), measured 91 ms
     vs ~1.5 ms per paste gather — 240 -> 144 img/s end to end. The cast
     traffic itself is ~0.1 GB/batch, microseconds.
+
+    When the batch carries host_prepare(cond="device") keys, the person
+    conditioning (pose raster, palm/retain masks, skin median) is computed
+    here too — same program-boundary layout argument.
     """
     out = dict(host)
+    if "parsing" in out:
+        out = compute_device_cond(out)
     for k in _INGEST_F32_KEYS:
-        out[k] = host[k].astype(jnp.float32)
+        out[k] = out[k].astype(jnp.float32)
     # lower_label_map in {0, 1/2, 1} * 255 from the {0,1,2} class plane
-    out["label"] = host["label_cls"].astype(jnp.float32) * 127.5
-    out.pop("label_cls")
+    if "label" not in out:
+        out["label"] = out["label_cls"].astype(jnp.float32) * 127.5
+    out.pop("label_cls", None)
     return out
 
 
@@ -246,6 +361,8 @@ def assemble_inputs_device(host: Dict[str, jnp.ndarray], mode: str,
     should ingest first — see ingest_device's layout note.
     """
     host = dict(host)
+    if "parsing" in host:
+        host = compute_device_cond(host)
     for k in _INGEST_F32_KEYS:
         host[k] = host[k].astype(jnp.float32)
     if "label" not in host:
@@ -325,11 +442,12 @@ class TryonPipeline:
     (assemble + generator forward)."""
 
     def __init__(self, variables, mode="upper", model: Optional[Generator] = None,
-                 noise_mode="const", warp_impl="auto"):
+                 noise_mode="const", warp_impl="auto", cond="host"):
         self.model = model or Generator()
         self.variables = variables
         self.mode = mode
         self.noise_mode = noise_mode
+        self.cond = cond
 
         @functools.partial(jax.jit,
                            static_argnames=("tiled", "cut_windowed"))
@@ -344,7 +462,8 @@ class TryonPipeline:
         self._run = _run
 
     def prepare(self, person, clothes, use_sleeve_mask=True):
-        return host_prepare(person, clothes, self.mode, use_sleeve_mask)
+        return host_prepare(person, clothes, self.mode, use_sleeve_mask,
+                            cond=self.cond)
 
     def run_batch(self, host_items):
         # tiled / windowed fast paths when every item's quads fit
