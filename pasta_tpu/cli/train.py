@@ -85,6 +85,11 @@ def parse_args(argv=None):
                    choices=["auto", "twopass", "gather"],
                    help="ADA geometric warp: TPU-native two-pass or the "
                         "bit-parity gather (auto: twopass on TPU)")
+    p.add_argument("--loader-impl", default="host",
+                   choices=["host", "device"],
+                   help="training data loader: 'device' runs per-sample "
+                        "warps/rasters on the accelerator (host keeps "
+                        "decode + scalar geometry only)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="microbatch accumulation rounds per step")
     # Multi-host bootstrap (replaces the reference's file:// NCCL rendezvous,
@@ -137,6 +142,7 @@ def build_config(args):
         augment_p_init=args.p if args.aug == "fixed" else 0.0,
         step_mode=args.step_mode,
         ada_impl=args.ada_impl,
+        loader_impl=args.loader_impl,
         d_num_bf16_res=args.d_bf16_res,
         g_num_bf16_res=args.g_bf16_res,
         remat=args.remat,
@@ -244,7 +250,8 @@ def main(argv=None):
     from ..train.loop import training_loop
 
     dataset = TryonTrainDataset(args.data, seed=args.seed,
-                                resolution=cfg.resolution)
+                                resolution=cfg.resolution,
+                                loader_impl=cfg.loader_impl)
     print(f"dataset: {len(dataset)} images from {args.data}")
     vgg_params = load_vgg_params(args.vgg19)
     if cfg.vgg_weight > 0 and vgg_params is None:

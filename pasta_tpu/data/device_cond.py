@@ -263,6 +263,25 @@ def retain_mask_device(parsing, palm):
     return m
 
 
+GARMENT_SRC_LABELS = (5, 6, 7, 9, 12)  # tops/dresses/pants/skirt sources
+
+
+def garment_lut_mask(lut, parsing, labels=GARMENT_SRC_LABELS):
+    """Per-item label LUT -> mask, as comparisons over the candidate labels.
+
+    lut: [B, 256] (uint8 {0,1} flags or small class values), parsing
+    [B, H, W, 1] int. Only `labels` can be nonzero in the LUTs (the
+    garment source labels), so the sum over comparisons equals the full
+    256-entry gather without any TPU-hostile index gather.
+    Returns [B, H, W, 1] float32.
+    """
+    m = jnp.zeros(parsing.shape, jnp.float32)
+    for lbl in labels:
+        m = m + (lut[:, lbl].astype(jnp.float32)[:, None, None, None]
+                 * (parsing == lbl))
+    return m
+
+
 def skin_median_device(image, parsing):
     """Per-channel median of nonzero neck+face pixels (np.median semantics).
 

@@ -517,3 +517,53 @@ def normalize_patches_device_tiled(
     if track_wo_sleeve:
         out["denorm_upper_img_wo_sleeve"] = denorm_upper_wo_sleeve
     return out
+
+
+def mirror_sleeves_device(norm, patch=128):
+    """Device sleeve mirroring: copy a present sleeve onto a missing one."""
+    imgs = norm["norm_img"]
+    masks = norm["norm_clothes_masks"]  # device masks: 1 channel per part
+
+    out_imgs = [imgs[..., i * 3:(i + 1) * 3] for i in range(10)]
+    out_masks = [masks[..., i:i + 1] for i in range(10)]
+    for a, b in [(2, 4), (3, 5)]:
+        sum_a = jnp.sum(out_masks[a], axis=(1, 2, 3), keepdims=True)
+        sum_b = jnp.sum(out_masks[b], axis=(1, 2, 3), keepdims=True)
+        mirror_a = (sum_a == 0) & (sum_b > 0)
+        mirror_b = (sum_b == 0) & (sum_a > 0)
+        new_a = jnp.where(mirror_a, out_imgs[b][:, :, ::-1], out_imgs[a])
+        new_b = jnp.where(mirror_b, out_imgs[a][:, :, ::-1], out_imgs[b])
+        ma = jnp.where(mirror_a, out_masks[b][:, :, ::-1], out_masks[a])
+        mb = jnp.where(mirror_b, out_masks[a][:, :, ::-1], out_masks[b])
+        out_imgs[a], out_imgs[b] = new_a, new_b
+        out_masks[a], out_masks[b] = ma, mb
+    norm["norm_img"] = jnp.concatenate(out_imgs, axis=-1)
+    norm["norm_clothes_masks"] = jnp.concatenate(out_masks, axis=-1)
+    return norm
+
+
+def zero_conflicts_device(norm):
+    """Zero kept-stream torso/hip patches under transferred-garment patches
+    (upper/lower modes; test variants dataset.py:2660-2670)."""
+    masks = norm["norm_clothes_masks"]  # 1 channel per part
+    imgs_l = norm["norm_img_lower"]
+    masks_l = norm["norm_clothes_masks_lower"]
+    out_imgs, out_masks = [], []
+    for lower_idx, upper_idx in [(0, 0), (1, 6), (3, 8)]:
+        occupied = (
+            masks[..., upper_idx:upper_idx + 1] > 0).astype(jnp.float32)
+        out_imgs.append((lower_idx,
+                         imgs_l[..., lower_idx * 3:(lower_idx + 1) * 3]
+                         * (1 - occupied)))
+        out_masks.append((lower_idx,
+                          masks_l[..., lower_idx:lower_idx + 1]
+                          * (1 - occupied)))
+    img_parts = [imgs_l[..., i * 3:(i + 1) * 3] for i in range(5)]
+    mask_parts = [masks_l[..., i:i + 1] for i in range(5)]
+    for i, v in out_imgs:
+        img_parts[i] = v
+    for i, v in out_masks:
+        mask_parts[i] = v
+    norm["norm_img_lower"] = jnp.concatenate(img_parts, axis=-1)
+    norm["norm_clothes_masks_lower"] = jnp.concatenate(mask_parts, axis=-1)
+    return norm

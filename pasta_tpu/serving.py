@@ -30,6 +30,8 @@ from .data.device_warp import (
     normalize_patches_device, normalize_patches_device_tiled,
     host_matrices_for_pair, erode, bound_from_mask_top,
     zero_bound_above_mask_bottom, paste_tile_layout, cut_window_layout,
+    mirror_sleeves_device as _mirror_sleeves,
+    zero_conflicts_device as _zero_conflicts,
     CUT_WINDOW, LOWER_PARTS)
 from .models import Generator
 
@@ -208,64 +210,12 @@ def host_prepare(person, clothes, mode, use_sleeve_mask=True, cond="host"):
     )
 
 
-def _mirror_sleeves(norm, patch=128):
-    """Device sleeve mirroring: copy a present sleeve onto a missing one."""
-    imgs = norm["norm_img"]
-    masks = norm["norm_clothes_masks"]  # device masks: 1 channel per part
-
-    out_imgs = [imgs[..., i * 3:(i + 1) * 3] for i in range(10)]
-    out_masks = [masks[..., i:i + 1] for i in range(10)]
-    for a, b in [(2, 4), (3, 5)]:
-        sum_a = jnp.sum(out_masks[a], axis=(1, 2, 3), keepdims=True)
-        sum_b = jnp.sum(out_masks[b], axis=(1, 2, 3), keepdims=True)
-        mirror_a = (sum_a == 0) & (sum_b > 0)
-        mirror_b = (sum_b == 0) & (sum_a > 0)
-        new_a = jnp.where(mirror_a, out_imgs[b][:, :, ::-1], out_imgs[a])
-        new_b = jnp.where(mirror_b, out_imgs[a][:, :, ::-1], out_imgs[b])
-        ma = jnp.where(mirror_a, out_masks[b][:, :, ::-1], out_masks[a])
-        mb = jnp.where(mirror_b, out_masks[a][:, :, ::-1], out_masks[b])
-        out_imgs[a], out_imgs[b] = new_a, new_b
-        out_masks[a], out_masks[b] = ma, mb
-    norm["norm_img"] = jnp.concatenate(out_imgs, axis=-1)
-    norm["norm_clothes_masks"] = jnp.concatenate(out_masks, axis=-1)
-    return norm
-
-
-def _zero_conflicts(norm):
-    """Zero kept-stream torso/hip patches under transferred-garment patches
-    (upper/lower modes; test variants dataset.py:2660-2670)."""
-    masks = norm["norm_clothes_masks"]  # 1 channel per part
-    imgs_l = norm["norm_img_lower"]
-    masks_l = norm["norm_clothes_masks_lower"]
-    out_imgs, out_masks = [], []
-    for lower_idx, upper_idx in [(0, 0), (1, 6), (3, 8)]:
-        occupied = (
-            masks[..., upper_idx:upper_idx + 1] > 0).astype(jnp.float32)
-        out_imgs.append((lower_idx,
-                         imgs_l[..., lower_idx * 3:(lower_idx + 1) * 3]
-                         * (1 - occupied)))
-        out_masks.append((lower_idx,
-                          masks_l[..., lower_idx:lower_idx + 1]
-                          * (1 - occupied)))
-    img_parts = [imgs_l[..., i * 3:(i + 1) * 3] for i in range(5)]
-    mask_parts = [masks_l[..., i:i + 1] for i in range(5)]
-    for i, v in out_imgs:
-        img_parts[i] = v
-    for i, v in out_masks:
-        mask_parts[i] = v
-    norm["norm_img_lower"] = jnp.concatenate(img_parts, axis=-1)
-    norm["norm_clothes_masks_lower"] = jnp.concatenate(mask_parts, axis=-1)
-    return norm
-
-
 _INGEST_F32_KEYS = ("upper_img", "lower_img", "upper_mask", "lower_mask",
                     "sleeve", "image", "pose", "retain_mask", "bound")
 
 _DEVICE_COND_KEYS = ("parsing", "limb_pts", "limb_valid", "joint_pts",
                      "joint_valid", "pose_xlim", "palm_quads", "palm_valid")
 
-
-_GARMENT_LABELS = (5, 6, 7, 9, 12)  # tops/dresses/pants/skirt sources
 
 
 def compute_device_cond(host: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -288,15 +238,10 @@ def compute_device_cond(host: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     out["retain_mask"] = dc.retain_mask_device(parsing, palm)
     out["skin_color"] = dc.skin_median_device(host["image"], parsing)
 
-    def lut_mask(lut, p):
-        m = jnp.zeros(p.shape, jnp.float32)
-        for lbl in _GARMENT_LABELS:
-            m = m + (lut[:, lbl].astype(jnp.float32)[:, None, None, None]
-                     * (p == lbl))
-        return m
-
-    up = lut_mask(out.pop("upper_lut"), out.pop("upper_src_parsing"))
-    low = lut_mask(out.pop("lower_lut"), out.pop("lower_src_parsing"))
+    up = dc.garment_lut_mask(
+        out.pop("upper_lut"), out.pop("upper_src_parsing"))
+    low = dc.garment_lut_mask(
+        out.pop("lower_lut"), out.pop("lower_src_parsing"))
     out["upper_img"] = up * out.pop("upper_src_image").astype(jnp.float32)
     out["lower_img"] = low * out.pop("lower_src_image").astype(jnp.float32)
     out["upper_mask"] = up * 255.0

@@ -110,6 +110,12 @@ class TrainConfig:
     # 'auto' = the TPU-native two-pass warp on TPU, gather elsewhere.
     ada_impl: str = "auto"
 
+    # Training data loader ('host' | 'device'): 'device' keeps only decode
+    # + scalar geometry on host and runs the per-sample warps/rasters in a
+    # device program (data/trainsets.py assemble_train_batch_lean) — ~3x
+    # the host loader throughput per core at 512px.
+    loader_impl: str = "host"
+
     # Mixed precision. The reference ships fp16 for the D's top-3
     # resolutions with conv_clamp=256 (train.py:196-197) — bf16 here, same
     # default. The reference forces G synthesis fp32 (networks.py:2294);

@@ -31,7 +31,9 @@ import jax.numpy as jnp
 import PIL.Image
 
 from ..data.trainsets import (TryonTrainDataset, assemble_train_batch,
-                              batch_to_raw_inputs, batch_to_train_inputs)
+                              assemble_train_batch_lean,
+                              batch_to_lean_inputs, batch_to_raw_inputs,
+                              batch_to_train_inputs)
 from ..io.checkpoint import save_checkpoint_variables, load_checkpoint_variables
 from .config import TrainConfig
 from .entry import make_mesh, shard_batch, replicate
@@ -57,6 +59,8 @@ class ParallelLoader:
         from ..data.sampler import infinite_sampler
 
         self.dataset = dataset
+        self.lean = getattr(dataset, "loader_impl", "host") == "device"
+        self._get = dataset.lean_item if self.lean else dataset.__getitem__
         self.batch_size = batch_size
         self.sampler = infinite_sampler(
             len(dataset), rank=rank, num_replicas=num_replicas,
@@ -67,20 +71,21 @@ class ParallelLoader:
 
     def _submit(self):
         idxs = [next(self.sampler) for _ in range(self.batch_size)]
-        return [self.pool.submit(self.dataset.__getitem__, int(i))
-                for i in idxs]
+        return [self.pool.submit(self._get, int(i)) for i in idxs]
 
     def __iter__(self):
         # keep two batches in flight; yield COMPACT raw batches (uint8) —
         # the training loop expands them on device (assemble_train_batch),
         # so the host->device upload is ~6x smaller than shipping the
-        # assembled float32 inputs.
+        # assembled float32 inputs. The device loader (lean) ships only
+        # raw planes + scalars and yields (batch, tiled, windowed).
         self._pending = [self._submit(), self._submit()]
         while True:
             futs = self._pending.pop(0)
             self._pending.append(self._submit())
             items = [f.result() for f in futs]
-            yield batch_to_raw_inputs(items)
+            yield (batch_to_lean_inputs(items) if self.lean
+                   else batch_to_raw_inputs(items))
 
 
 def save_image_grid(images, path, drange=(-1, 1), grid_cols=None):
@@ -347,11 +352,22 @@ def _training_loop_impl(
     images_at_tick = start_step * cfg.batch_size
     step_metrics = []  # device-side; fetched once per tick (no per-step sync)
 
-    assemble = jax.jit(assemble_train_batch)
+    lean_loader = getattr(dataset, "loader_impl", "host") == "device"
+    if lean_loader:
+        assemble_lean = jax.jit(
+            assemble_train_batch_lean,
+            static_argnames=("tiled", "cut_windowed", "warp_impl"))
+    else:
+        assemble = jax.jit(assemble_train_batch)
     compiled_variants = set()
     for step in range(start_step, total_steps):
-        batch_np = next(loader)
-        batch = assemble(shard_batch(batch_np, mesh))
+        if lean_loader:
+            batch_np, tiled, windowed = next(loader)
+            batch = assemble_lean(shard_batch(batch_np, mesh),
+                                  tiled=tiled, cut_windowed=windowed)
+        else:
+            batch_np = next(loader)
+            batch = assemble(shard_batch(batch_np, mesh))
         key, sub = jax.random.split(key)
         do_r1_d = cfg.r1_gamma != 0 and step % cfg.d_reg_interval == 0
         do_pl = cfg.pl_weight != 0 and step % cfg.g_reg_interval == 0
