@@ -384,15 +384,31 @@ def assemble_inputs_device(host: Dict[str, jnp.ndarray], mode: str,
 
 class TryonPipeline:
     """Batched serving pipeline: host_prepare -> one jitted device program
-    (assemble + generator forward)."""
+    (assemble + generator forward).
+
+    Pass `mesh` (a 1-axis jax.sharding.Mesh) for multi-chip serving: the
+    batch shards over the mesh axis and the generator weights replicate —
+    serving is per-item parallel (no cross-batch ops), so jit scales it
+    across the mesh with zero collectives in the program. Batch size must
+    be a multiple of the mesh size.
+    """
 
     def __init__(self, variables, mode="upper", model: Optional[Generator] = None,
-                 noise_mode="const", warp_impl="auto", cond="host"):
+                 noise_mode="const", warp_impl="auto", cond="host",
+                 mesh=None):
         self.model = model or Generator()
         self.variables = variables
         self.mode = mode
         self.noise_mode = noise_mode
         self.cond = cond
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._batch_sharding = NamedSharding(
+                mesh, PartitionSpec(mesh.axis_names[0]))
+            self.variables = jax.device_put(
+                variables, NamedSharding(mesh, PartitionSpec()))
 
         @functools.partial(jax.jit,
                            static_argnames=("tiled", "cut_windowed"))
@@ -419,6 +435,12 @@ class TryonPipeline:
             k: jnp.asarray(np.stack([it[k] for it in host_items]))
             for k in host_items[0] if k not in ("tiles_fit", "cut_fits")
         }
+        if self.mesh is not None:
+            assert len(host_items) % self.mesh.size == 0, (
+                f"batch {len(host_items)} not divisible by mesh size "
+                f"{self.mesh.size}")
+            batch = {k: jax.device_put(v, self._batch_sharding)
+                     for k, v in batch.items()}
         # two-stage: uint8 transfer + boundary-pinning cast program, then
         # the main warp+forward program (see ingest_device).
         return self._run(self.variables, ingest_device(batch), tiled=tiled,

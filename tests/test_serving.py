@@ -86,3 +86,68 @@ def test_tiled_paste_matches_full():
         np.asarray(full["denorm_upper_mask"])
         - np.asarray(tiled["denorm_upper_mask"])) > 0)
     assert mask_frac < 0.005, mask_frac
+
+
+@needs_fixtures
+def test_sharded_assemble_matches_single():
+    """assemble_inputs_device under a 2-device data mesh == single-device
+    (serving is per-item parallel; no cross-batch ops may sneak in)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    ds = TryonPairDataset(FIXTURES, "test_pairs.txt", mode="upper")
+    items = []
+    for clothes_name, person_name in ds.pairs[:2]:
+        person = pp.load_person(FIXTURES, person_name)
+        clothes = pp.load_person(FIXTURES, clothes_name,
+                                 with_garment_parsing=True)
+        items.append(host_prepare(person, clothes, "upper"))
+    batch = {k: jnp.asarray(np.stack([it[k] for it in items]))
+             for k in items[0] if k not in ("tiles_fit", "cut_fits")}
+    single = jax.jit(lambda b: assemble_inputs_device(b, "upper"))(batch)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    sharding = NamedSharding(mesh, PartitionSpec("data"))
+    sharded_batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    sharded = jax.jit(
+        lambda b: assemble_inputs_device(b, "upper"))(sharded_batch)
+    for k in single:
+        np.testing.assert_allclose(
+            np.asarray(sharded[k]), np.asarray(single[k]), atol=1e-5,
+            err_msg=k)
+
+
+@needs_fixtures
+@pytest.mark.slow
+def test_pipeline_mesh_matches_single():
+    """Full TryonPipeline over a 2-device mesh == single device."""
+    from jax.sharding import Mesh
+
+    from pasta_tpu.models import Generator
+    from pasta_tpu.serving import TryonPipeline
+
+    ds = TryonPairDataset(FIXTURES, "test_pairs.txt", mode="upper")
+    model = Generator()
+    items = []
+    for clothes_name, person_name in ds.pairs[:2]:
+        person = pp.load_person(FIXTURES, person_name)
+        clothes = pp.load_person(FIXTURES, clothes_name,
+                                 with_garment_parsing=True)
+        items.append(host_prepare(person, clothes, "upper"))
+    batch = {k: jnp.asarray(np.stack([it[k] for it in items]))
+             for k in items[0] if k not in ("tiles_fit", "cut_fits")}
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        **assemble_inputs_device(batch, "upper"))
+
+    single = TryonPipeline(variables, mode="upper", model=model)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    multi = TryonPipeline(variables, mode="upper", model=model, mesh=mesh)
+    out_s = np.asarray(single.run_batch(items))
+    out_m = np.asarray(multi.run_batch(items))
+    # partitioning changes fp32 accumulation order; through 7 synthesis
+    # blocks that drifts a handful of pixels beyond a tight atol. Require
+    # distribution-level equality instead.
+    diff = np.abs(out_m - out_s)
+    rng = out_s.max() - out_s.min()
+    assert diff.mean() / rng < 1e-4, (diff.mean(), rng)
+    assert np.mean(diff > 0.01 * rng) < 1e-3, np.mean(diff > 0.01 * rng)
