@@ -38,6 +38,12 @@ def parse_args(argv=None):
                         "bf16 (0 = fp32, the reference inference numerics)")
     p.add_argument("--noise-mode", default="const",
                    choices=["const", "random", "none"])
+    p.add_argument("--pipeline", default="parity",
+                   choices=["parity", "serving"],
+                   help="'parity' = host preprocessing (bit-matches the "
+                        "reference data path); 'serving' = the production "
+                        "TryonPipeline (device conditioning + warps, "
+                        "matmul warps on TPU — fastest)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -65,6 +71,77 @@ def load_generator_variables(model, network_path, example_inputs):
     return load_checkpoint_variables(network_path)
 
 
+def _write_composites(outdir, gen, person_imgs, clothes_imgs, person_names,
+                      clothes_names):
+    """[clothes | person | generated] center-crop composites
+    (test.py:162-184 layout, RGB->BGR files)."""
+    import cv2
+
+    for i in range(len(person_names)):
+        gen_img = np.clip((gen[i] + 1) * 127.5, 0, 255).astype(np.uint8)
+        result = np.concatenate(
+            [clothes_imgs[i][:, 96:416], person_imgs[i][:, 96:416],
+             gen_img[:, 96:416]], axis=1)
+        person_n = os.path.basename(person_names[i])
+        clothes_n = os.path.basename(clothes_names[i])
+        save_name = f"{person_n[:-4]}___{clothes_n[:-4]}.png"
+        cv2.imwrite(os.path.join(outdir, save_name), result[..., ::-1])
+
+
+def _run_serving(args, dataset, model):
+    """Production-path inference: TryonPipeline (device conditioning +
+    warps; one ingest + one warp/forward program per batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import preprocess as pp
+    from ..serving import (TryonPipeline, assemble_inputs_device,
+                           host_prepare, ingest_device)
+
+    mode = args.testpart
+
+    def load_pair(person_name, clothes_name):
+        person = pp.load_person(
+            dataset.root, person_name, pose_raster="device",
+            with_garment_parsing=(args.use_sleeve_mask and mode == "lower"))
+        clothes = pp.load_person(
+            dataset.root, clothes_name,
+            with_garment_parsing=(args.use_sleeve_mask and mode != "lower"))
+        return person, clothes
+
+    # variables init from the first batch's assembled inputs
+    p0, c0 = load_pair(*dataset.pairs[0])
+    item0 = host_prepare(p0, c0, mode, args.use_sleeve_mask, cond="device")
+    batch0 = {k: jnp.asarray(np.stack([v] * args.batchsize))
+              for k, v in item0.items() if k not in ("tiles_fit", "cut_fits")}
+    variables = load_generator_variables(
+        model, args.network,
+        assemble_inputs_device(ingest_device(batch0), mode))
+
+    pipe = TryonPipeline(variables, mode=mode, model=model,
+                         noise_mode=args.noise_mode, cond="device")
+    n_done = 0
+    t0 = time.time()
+    for start in range(0, len(dataset), args.batchsize):
+        pairs = [dataset.pairs[i]
+                 for i in range(start,
+                                min(start + args.batchsize, len(dataset)))]
+        n_real = len(pairs)
+        recs = [load_pair(pn, cn) for pn, cn in pairs]
+        items = [pipe.prepare(p, c, args.use_sleeve_mask) for p, c in recs]
+        while len(items) < args.batchsize:
+            items.append(items[-1])
+        gen = np.asarray(pipe.run_batch(items))
+        _write_composites(
+            args.outdir, gen,
+            [p.image for p, _ in recs], [c.image for _, c in recs],
+            [pn for pn, _ in pairs], [cn for _, cn in pairs])
+        n_done += n_real
+    dt = time.time() - t0
+    print(f"finished: {n_done} images -> {args.outdir} "
+          f"({n_done / max(dt, 1e-9):.2f} img/s incl. preprocessing)")
+
+
 def main(argv=None):
     args = parse_args(argv)
     import cv2
@@ -81,6 +158,9 @@ def main(argv=None):
     print(f"{len(dataset)} pairs, part={args.testpart}")
 
     model = Generator(num_bf16_res=args.g_bf16_res)
+    if args.pipeline == "serving":
+        _run_serving(args, dataset, model)
+        return
 
     first_batch = [dataset[i] for i in range(min(args.batchsize, len(dataset)))]
     inputs0, _ = to_model_inputs(first_batch)
@@ -109,20 +189,14 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         gen = np.asarray(forward(variables, inputs, sub))
 
-        for i in range(n_real):
-            gen_img = np.clip((gen[i] + 1) * 127.5, 0, 255).astype(np.uint8)
-            person_img = ((extras["image"][i] + 1) * 127.5).astype(np.uint8)
-            clothes_img = ((extras["clothes"][i] + 1) * 127.5).astype(np.uint8)
-            result = np.concatenate(
-                [clothes_img[:, 96:416], person_img[:, 96:416],
-                 gen_img[:, 96:416]], axis=1)
-            person_n = os.path.basename(extras["person_names"][i])
-            clothes_n = os.path.basename(extras["clothes_names"][i])
-            save_name = f"{person_n[:-4]}___{clothes_n[:-4]}.png"
-            # RGB -> BGR for cv2, matching the reference's output files.
-            cv2.imwrite(os.path.join(args.outdir, save_name),
-                        result[..., ::-1])
-            n_done += 1
+        _write_composites(
+            args.outdir, gen,
+            [((extras["image"][i] + 1) * 127.5).astype(np.uint8)
+             for i in range(n_real)],
+            [((extras["clothes"][i] + 1) * 127.5).astype(np.uint8)
+             for i in range(n_real)],
+            extras["person_names"][:n_real], extras["clothes_names"][:n_real])
+        n_done += n_real
     dt = time.time() - t0
     print(f"finished: {n_done} images -> {args.outdir} "
           f"({n_done / max(dt, 1e-9):.2f} img/s incl. preprocessing)")
