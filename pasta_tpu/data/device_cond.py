@@ -99,9 +99,23 @@ def pose_device_params(keypoints, img_h, img_w, left):
 
 def _winding_normalized(quad):
     """Return the quad with positive shoelace orientation (so the device
-    fill can test cross >= 0 on every edge)."""
+    fill can test cross >= 0 on every edge).
+
+    A zero-length limb segment degenerates the rectangle to a point; the
+    host _fill_quad then fills the point's 1-2px bbox (its sign never
+    resolves, every cross is 0), while an all-zero-cross half-plane test
+    would fill the whole canvas. Substitute the equivalent axis-aligned
+    bbox quad (pixel centers in [floor(min), ceil(max)]), which fills
+    exactly the host's pixel set."""
     x, y = quad[:, 0], quad[:, 1]
     area2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    if abs(area2) < 1e-9:
+        # +-0.25 keeps the box non-degenerate at integer coords without
+        # adding pixel centers (centers are integers)
+        x0, x1 = np.floor(x.min()) - 0.25, np.ceil(x.max()) + 0.25
+        y0, y1 = np.floor(y.min()) - 0.25, np.ceil(y.max()) + 0.25
+        return np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float64)
     return quad if area2 >= 0 else quad[::-1]
 
 

@@ -82,6 +82,26 @@ def test_palm_retain_skin_exact():
         assert np.allclose(skin_dev, skin_ref), nm
 
 
+def test_palm_degenerate_zero_length_limb():
+    # shoulder == elbow collapses the upper-arm rectangle to a point; the
+    # host fills its 1-2px bbox (sign never resolves), the device must not
+    # fill the whole canvas (all-zero crosses)
+    kp = np.zeros((18, 3))
+    kp[5] = [100.0, 100.0, 0.9]   # lshoulder
+    kp[6] = [100.0, 100.0, 0.9]   # lelbow == lshoulder
+    kp[7] = [140.0, 160.0, 0.9]   # lwrist
+    parsing = np.zeros((512, 512, 1), np.int32)
+    parsing[90:180, 80:170] = 14  # left hand labels everywhere nearby
+    ref = get_palm_mask(kp, parsing)
+    prm = dc.palm_device_params(kp)
+    dev = np.asarray(dc.palm_mask_device(
+        jnp.asarray(prm["palm_quads"][None]),
+        jnp.asarray(prm["palm_valid"][None]),
+        jnp.asarray(parsing[None])))[0]
+    assert np.array_equal(dev.astype(np.uint8), ref)
+    assert ref.sum() > 0  # scenario actually exercises a nonempty palm
+
+
 @needs_fixtures
 def test_pose_raster_close_and_keypoints_identical():
     for nm in _names(3):
