@@ -56,6 +56,17 @@ def _pad_width(h, w):
     return left, h - w - left
 
 
+def _pad_lr(arr, left, right, value):
+    """np.pad(((0,0),(left,right),(0,0)), constant) without np.pad's
+    python overhead (~0.3 ms/call on this host; 6 calls/pair)."""
+    h, w = arr.shape[:2]
+    out = np.empty((h, w + left + right) + arr.shape[2:], arr.dtype)
+    out[:, :left] = value
+    out[:, left:left + w] = arr
+    out[:, left + w:] = value
+    return out
+
+
 def _decode_label_plane(root, rel):
     """Parsing-map decode with cv2.imread-channel-0 semantics.
 
@@ -99,8 +110,7 @@ def load_person(root, image_name, with_garment_parsing=False,
     img = root.decode_image(f"image/{image_name}")
     h, w = img.shape[:2]
     left, right = _pad_width(h, w)
-    image = np.pad(img, ((0, 0), (left, right), (0, 0)), "constant",
-                   constant_values=(255, 255))
+    image = _pad_lr(img, left, right, 255)
 
     stem = os.path.splitext(image_name)[0]
     pose_params = None
@@ -122,22 +132,18 @@ def load_person(root, image_name, with_garment_parsing=False,
         pose_img, keypoints = load_keypoints(
             root.open(f"keypoints/{stem}_keypoints.json"),
             img_size=(h, w))
-        pose_img = np.pad(pose_img, ((0, 0), (left, right), (0, 0)),
-                          "constant", constant_values=(0, 0))
+        pose_img = _pad_lr(pose_img, left, right, 0)
     keypoints = keypoints.copy()
     keypoints[:, 0] += left
 
     parsing = _decode_label_plane(root, f"parsing/{stem}.png")
-    parsing = np.pad(parsing, ((0, 0), (left, right), (0, 0)), "constant",
-                     constant_values=(0, 0))
+    parsing = _pad_lr(parsing, left, right, 0)
 
     garment_parsing = None
     if with_garment_parsing and root.exists(f"garment_parsing/{stem}.png"):
         gp = _decode_label_plane(root, f"garment_parsing/{stem}.png")
         if gp is not None:
-            garment_parsing = np.pad(
-                gp, ((0, 0), (left, right), (0, 0)), "constant",
-                constant_values=(0, 0))
+            garment_parsing = _pad_lr(gp, left, right, 0)
     return PersonRecord(image_name, image, pose_img, keypoints, parsing,
                         garment_parsing, pose_params)
 

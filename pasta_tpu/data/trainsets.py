@@ -380,8 +380,8 @@ def preprocess_person_train_lean(person: PersonRecord,
     gp = person.garment_parsing
     return dict(
         image=person.image,                                        # u8
-        parsing=person.parsing.astype(np.uint8),                   # u8
-        garment_parsing=(gp.astype(np.uint8) if gp is not None
+        parsing=person.parsing.astype(np.uint8, copy=False),                   # u8
+        garment_parsing=(gp.astype(np.uint8, copy=False) if gp is not None
                          else np.zeros_like(person.parsing, np.uint8)),
         upper_lut=pp.label_lut(upper_labels),
         lower_lut=pp.label_lut(lower_labels),

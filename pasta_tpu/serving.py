@@ -164,15 +164,15 @@ def host_prepare(person, clothes, mode, use_sleeve_mask=True, cond="host"):
         # program (compute_device_cond).
         return dict(
             **common,
-            parsing=person.parsing.astype(np.uint8),                # u8
+            parsing=person.parsing.astype(np.uint8, copy=False),                # u8
             upper_src_image=upper_src.image,                        # u8
             lower_src_image=lower_src.image,                        # u8
-            upper_src_parsing=upper_src.parsing.astype(np.uint8),   # u8
-            lower_src_parsing=lower_src.parsing.astype(np.uint8),   # u8
+            upper_src_parsing=upper_src.parsing.astype(np.uint8, copy=False),   # u8
+            lower_src_parsing=lower_src.parsing.astype(np.uint8, copy=False),   # u8
             upper_lut=pp.label_lut(upper_labels),                   # [256] u8
             lower_lut=pp.label_lut(lower_labels),                   # [256] u8
             sleeve_parsing=(
-                sleeve_gp.astype(np.uint8) if sleeve_gp is not None
+                sleeve_gp.astype(np.uint8, copy=False) if sleeve_gp is not None
                 else np.zeros_like(person.parsing, np.uint8)),      # u8
             label_cls=np.asarray(cls, np.uint8),                    # scalar
             bound_row=np.asarray(bound_row, np.int32),              # scalar
