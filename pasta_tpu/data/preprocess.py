@@ -77,13 +77,19 @@ def _decode_label_plane(root, rel):
     cv2.imread and takes [:, :, 0]).
     """
     data = root.read(rel)
-    if len(data) > 25 and data[25] == 0:      # IHDR color type: grayscale
+    # IHDR color type: 0 grayscale, 2 truecolor, 6 truecolor+alpha decode
+    # natively; palette (3) keeps cv2's palette-expansion semantics.
+    if len(data) > 25 and data[25] in (0, 2, 6):
         from .. import native
         if native.available():
             try:
                 plane = np.asarray(native.decode_image(data))
                 if plane.ndim == 2:
                     return plane[..., None]
+                if plane.shape[2] in (3, 4):
+                    # cv2.imread(COLOR) yields BGR (alpha dropped); its
+                    # channel 0 is the RGB blue channel
+                    return plane[..., 2:3]
             except ValueError:
                 pass
     import cv2

@@ -1,5 +1,7 @@
 """Native C++ plugin parity vs cv2."""
 
+import os
+
 import numpy as np
 import pytest
 import cv2
@@ -151,3 +153,26 @@ class TestNativeWarpDegenerate:
         m[2] = [0.0, 0.0, 0.0]  # denominator identically zero everywhere
         out = native.warp_perspective_batch(img[:1], m[None], 8, 8)
         np.testing.assert_array_equal(out, 0)
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/test_datas"),
+                    reason="fixture data not mounted")
+def test_label_plane_decode_matches_cv2_all_color_types():
+    """_decode_label_plane == cv2.imread-channel-0 for every fixture
+    parsing sidecar (grayscale AND truecolor go through the native path)."""
+    import cv2
+
+    from pasta_tpu.data.preprocess import _decode_label_plane
+    from pasta_tpu.data.roots import as_root
+
+    root = as_root("/root/reference/test_datas")
+    for d in ("parsing", "garment_parsing"):
+        names = sorted(os.listdir(os.path.join("/root/reference/test_datas",
+                                               d)))[:6]
+        for nm in names:
+            rel = f"{d}/{nm}"
+            got = _decode_label_plane(root, rel)
+            ref = cv2.imdecode(
+                np.frombuffer(root.read(rel), np.uint8),
+                cv2.IMREAD_COLOR)[..., 0:1]
+            assert np.array_equal(got, ref), rel
