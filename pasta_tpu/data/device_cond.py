@@ -297,21 +297,36 @@ def garment_lut_mask(lut, parsing, labels=GARMENT_SRC_LABELS):
 
 
 def skin_median_device(image, parsing):
-    """Per-channel median of nonzero neck+face pixels (np.median semantics).
+    """Per-channel median of nonzero neck+face pixels (np.median semantics:
+    average of the two middle order statistics). Returns [B, 3] float32.
 
-    Device twin of skin_median_color (preprocess.py:163-172): sort the
-    masked channel values (invalid -> +inf) and average the two middle
-    order statistics. Returns [B, 3] float32."""
+    Device twin of skin_median_color (preprocess.py). Values are uint8, so
+    each order statistic is found EXACTLY by an 8-step binary search over
+    the threshold (count of masked values <= t is monotone) — vector
+    compares + reductions only. A sort of the 512^2 masked plane would be
+    comparator-network-bound on TPU; this is ~16 masked-reduction passes."""
     p = parsing[..., 0]
-    skin = (p == 10) | (p == 13)                       # [B, H, W]
-    img = image.astype(jnp.float32)
-    b = img.shape[0]
-    flat = img.reshape(b, -1, 3)
-    m = (skin[..., None] & (img > 0)).reshape(b, -1, 3)
-    vals = jnp.where(m, flat, jnp.inf)
-    s = jnp.sort(vals, axis=1)                         # [B, HW, 3]
-    n = jnp.sum(m, axis=1).astype(jnp.int32)           # [B, 3]
-    lo = jnp.take_along_axis(s, ((n - 1) // 2)[:, None, :], axis=1)
-    hi = jnp.take_along_axis(s, (n // 2)[:, None, :], axis=1)
-    med = (lo + hi)[:, 0, :] / 2.0
+    skin = ((p == 10) | (p == 13))[..., None]          # [B, H, W, 1]
+    m = skin & (image > 0)                             # [B, H, W, 3]
+    n = jnp.sum(m, axis=(1, 2)).astype(jnp.int32)      # [B, 3]
+    img = image.astype(jnp.int32)
+
+    def order_stat(k):
+        """Smallest v with count(masked values <= v) >= k+1, per [B, 3]."""
+        lo = jnp.zeros_like(n)
+        hi = jnp.full_like(n, 255)
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) // 2
+            cnt = jnp.sum(
+                (m & (img <= mid[:, None, None, :])).astype(jnp.int32),
+                axis=(1, 2))
+            take = cnt >= k + 1
+            return jnp.where(take, lo, mid + 1), jnp.where(take, mid, hi)
+
+        lo, hi = lax.fori_loop(0, 8, body, (lo, hi))
+        return hi.astype(jnp.float32)
+
+    med = (order_stat((n - 1) // 2) + order_stat(n // 2)) / 2.0
     return jnp.where(n > 0, med, 0.0)
