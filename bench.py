@@ -37,22 +37,23 @@ N_ITERS = 20
 raster + palm/retain masks + skin median on-chip inside the ingest program
 (data/device_cond.py); "host" is the reference-parity host path."""
 COND = os.environ.get("PASTA_BENCH_COND", "device")
-_POSE_RASTER = "device" if COND == "device" else "host"
 
 
-def _fixture_host_batch():
+def _fixture_host_batch(cond=None):
     from pasta_tpu.data import preprocess as pp
     from pasta_tpu.serving import host_prepare
 
+    cond = cond or COND
     with open(os.path.join(FIXTURES, "test_pairs.txt")) as f:
         pairs = [line.split() for line in f if line.strip()][:BATCH]
     items = []
     for clothes_name, person_name in pairs:
-        person = pp.load_person(FIXTURES, person_name,
-                                pose_raster=_POSE_RASTER)
+        person = pp.load_person(
+            FIXTURES, person_name,
+            pose_raster="device" if cond == "device" else "host")
         clothes = pp.load_person(FIXTURES, clothes_name,
                                  with_garment_parsing=True)
-        items.append(host_prepare(person, clothes, "upper", cond=COND))
+        items.append(host_prepare(person, clothes, "upper", cond=cond))
     while len(items) < BATCH:
         items.append(items[-1])
     tiled = all(bool(it["tiles_fit"]) for it in items)
@@ -62,7 +63,7 @@ def _fixture_host_batch():
     return batch, tiled, cut_windowed
 
 
-def _host_throughput(num_workers=8, reps=3):
+def _host_throughput(num_workers=8, reps=3, cond=None):
     """Host-stage throughput (pairs/sec): decode + prep over a thread pool
     (cv2/PIL release the GIL in the hot parts)."""
     import concurrent.futures
@@ -70,16 +71,18 @@ def _host_throughput(num_workers=8, reps=3):
     from pasta_tpu.data import preprocess as pp
     from pasta_tpu.serving import host_prepare
 
+    cond = cond or COND
     with open(os.path.join(FIXTURES, "test_pairs.txt")) as f:
         pairs = [line.split() for line in f if line.strip()]
 
     def prep(pair):
         clothes_name, person_name = pair
-        person = pp.load_person(FIXTURES, person_name,
-                                pose_raster=_POSE_RASTER)
+        person = pp.load_person(
+            FIXTURES, person_name,
+            pose_raster="device" if cond == "device" else "host")
         clothes = pp.load_person(FIXTURES, clothes_name,
                                  with_garment_parsing=True)
-        return host_prepare(person, clothes, "upper", cond=COND)
+        return host_prepare(person, clothes, "upper", cond=cond)
 
     with concurrent.futures.ThreadPoolExecutor(num_workers) as pool:
         list(pool.map(prep, pairs))  # warmup (page cache, cv2 init)
@@ -130,9 +133,8 @@ def main():
         float(loop(*args))
         return (time.perf_counter() - t0) / N_ITERS
 
-    if use_fixtures:
-        host_batch, tiled, cut_windowed = _fixture_host_batch()
-        metric = "tryon_512px_serving_throughput"
+    def run_fixture(cond, warp_impl):
+        host_batch, tiled, cut_windowed = _fixture_host_batch(cond)
 
         def ingest_body(acc, hb):
             out = ingest_device(_perturb(hb, acc))
@@ -144,7 +146,7 @@ def main():
         def main_body(acc, fb):
             inputs = assemble_inputs_device(
                 _perturb(fb, acc), "upper", tiled=tiled,
-                cut_windowed=cut_windowed)
+                warp_impl=warp_impl, cut_windowed=cut_windowed)
             img, finetune, parsing = model.apply(
                 variables, noise_mode="const", **inputs)
             return jnp.mean(finetune)
@@ -158,9 +160,32 @@ def main():
         # data dependence on every array so per-batch work cannot hoist.
         t_ingest = timed_loop(ingest_body, host_batch)
         t_main = timed_loop(main_body, f32_batch)
+        return t_ingest, t_main
+
+    if use_fixtures:
+        metric = "tryon_512px_serving_throughput"
+        # Newest-path-first ladder: if a fresh device path fails to compile
+        # on this backend, degrade rather than produce no number at all.
+        ladder = [(COND, "auto"), ("host", "auto"), ("host", "gather")]
+        seen = set()
+        for cond, warp_impl in ladder:
+            if (cond, warp_impl) in seen:
+                continue
+            seen.add((cond, warp_impl))
+            try:
+                t_ingest, t_main = run_fixture(cond, warp_impl)
+                break
+            except Exception as e:  # noqa: BLE001 — degrade, don't die
+                import sys as _sys
+
+                print(f"bench: cond={cond} warp={warp_impl} failed: "
+                      f"{type(e).__name__}: {e}", file=_sys.stderr)
+        else:
+            raise RuntimeError("all serving bench configurations failed")
         dt_item = t_ingest + t_main
         components = {"ingest_ms": round(t_ingest * 1e3, 2),
-                      "warp_forward_ms": round(t_main * 1e3, 2)}
+                      "warp_forward_ms": round(t_main * 1e3, 2),
+                      "cond": cond, "warp_impl": warp_impl}
     else:
         import __graft_entry__ as ge
 
@@ -186,7 +211,6 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(device_ips / BASELINE_IMAGES_PER_SEC, 3),
         "g_bf16_res": g_bf16,
-        "cond": COND,
         **components,
     }
     if use_fixtures:
@@ -195,7 +219,7 @@ def main():
         # container has ONE, so min(host, device) here measures the
         # container, not the framework). Both stages are reported; the
         # pipelined composite on this host is min of the two.
-        host_ips = _host_throughput()
+        host_ips = _host_throughput(cond=cond)
         ncores = os.cpu_count() or 1
         record.update({
             "host_prep_images_per_sec": round(host_ips, 2),
