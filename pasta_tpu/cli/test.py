@@ -109,17 +109,7 @@ def _run_serving(args, dataset, model):
             with_garment_parsing=(args.use_sleeve_mask and mode != "lower"))
         return person, clothes
 
-    # variables init from the first batch's assembled inputs
-    p0, c0 = load_pair(*dataset.pairs[0])
-    item0 = host_prepare(p0, c0, mode, args.use_sleeve_mask, cond="device")
-    batch0 = {k: jnp.asarray(np.stack([v] * args.batchsize))
-              for k, v in item0.items() if k not in ("tiles_fit", "cut_fits")}
-    variables = load_generator_variables(
-        model, args.network,
-        assemble_inputs_device(ingest_device(batch0), mode))
-
-    pipe = TryonPipeline(variables, mode=mode, model=model,
-                         noise_mode=args.noise_mode, cond="device")
+    pipe = None
     n_done = 0
     t0 = time.time()
     for start in range(0, len(dataset), args.batchsize):
@@ -128,9 +118,21 @@ def _run_serving(args, dataset, model):
                                 min(start + args.batchsize, len(dataset)))]
         n_real = len(pairs)
         recs = [load_pair(pn, cn) for pn, cn in pairs]
-        items = [pipe.prepare(p, c, args.use_sleeve_mask) for p, c in recs]
+        items = [host_prepare(p, c, mode, args.use_sleeve_mask,
+                              cond="device") for p, c in recs]
         while len(items) < args.batchsize:
             items.append(items[-1])
+        if pipe is None:
+            # variables init from the first real batch (no duplicate prep)
+            batch0 = {k: jnp.asarray(np.stack([it[k] for it in items]))
+                      for k in items[0]
+                      if k not in ("tiles_fit", "cut_fits")}
+            variables = load_generator_variables(
+                model, args.network,
+                assemble_inputs_device(ingest_device(batch0), mode))
+            pipe = TryonPipeline(variables, mode=mode, model=model,
+                                 noise_mode=args.noise_mode, cond="device",
+                                 seed=args.seed)
         gen = np.asarray(pipe.run_batch(items))
         _write_composites(
             args.outdir, gen,

@@ -152,17 +152,49 @@ def _warp_multi(impl):
     return warp_perspective_multi
 
 
+def _cut_src_stack(upper_img, lower_img, upper_mask, lower_mask,
+                   sleeve_mask, sleeve_valid):
+    """[B, 3, H, W, 4] cut-warp sources: 0 = non-sleeve-routed upper,
+    1 = sleeve-routed upper, 2 = lower; image (3ch) + {0,255} mask (1ch).
+
+    sleeve_valid [B] (or None = all valid) distinguishes the host oracle's
+    two cases: a PRESENT sleeve mask routes arm parts (even if it is all
+    zeros -> empty sleeve patches, dataset.py:1062-1067), while an ABSENT
+    one (sleeve_mask=None on host) leaves the garment unrouted — both
+    sources see the full garment."""
+    if sleeve_valid is None:
+        eff = sleeve_mask
+        routed = None
+    else:
+        sv = sleeve_valid.astype(jnp.float32)[:, None, None, None]
+        eff = sleeve_mask * sv
+        routed = sv
+    nonsleeve = jnp.concatenate(
+        [upper_img * (1 - eff), upper_mask * (1 - eff)], axis=-1)
+    sleeve_src = jnp.concatenate(
+        [upper_img * eff, upper_mask * eff], axis=-1)
+    if routed is not None:
+        full = jnp.concatenate([upper_img, upper_mask], axis=-1)
+        sleeve_src = routed * sleeve_src + (1 - routed) * full
+    lower_src = jnp.concatenate([lower_img, lower_mask], axis=-1)
+    return jnp.stack([nonsleeve, sleeve_src, lower_src], axis=1)
+
+
 def normalize_patches_device(
     upper_img, lower_img, upper_mask, lower_mask, sleeve_mask,
     upper_cut_m, lower_cut_m, paste_m_inv, part_valid,
     patch=128, erode_k=5, track_wo_sleeve=False, warp_impl="gather",
+    sleeve_valid=None,
 ):
     """Batched device version of the patch normalize/denormalize chain.
 
     All inputs are jnp arrays:
         upper_img/lower_img:   [B, H, W, 3] float (masked garment pixels).
         upper_mask/lower_mask: [B, H, W, 1] float in {0, 255}.
-        sleeve_mask:           [B, H, W, 1] float in {0, 1} (zeros = none).
+        sleeve_mask:           [B, H, W, 1] float in {0, 1}.
+        sleeve_valid:          [B] (or None = all valid): False reproduces
+            the host's sleeve_mask=None (garment unrouted), distinct from
+            a present-but-empty mask — see _cut_src_stack.
         upper_cut_m/lower_cut_m: [B, 10, 3, 3] INVERSE cut transforms
             (patch pixel -> image pixel) per part; arbitrary for invalid.
         paste_m_inv:           [B, 10, 3, 3] patch -> person image.
@@ -172,8 +204,8 @@ def normalize_patches_device(
     Returns dict with norm_img [B,128,128,30], norm_img_lower [B,128,128,15],
     denorm_upper_img / denorm_lower_img [B,H,W,3] and their masks.
 
-    The sleeve-mirroring and train-erasure steps stay host-side (they are
-    data-dependent branches on patch-sum scalars — cheap and rare).
+    Sleeve mirroring runs on device too (mirror_sleeves_device below);
+    train erasure lives in trainsets.assemble_train_batch_lean.
     """
     b, h, w, _ = upper_img.shape
     n_parts = len(BODY_PARTS)
@@ -182,13 +214,8 @@ def normalize_patches_device(
     # --- all 15 cut warps as ONE gather ------------------------------------
     # sources: 0 = non-sleeve-routed upper, 1 = sleeve-routed upper,
     # 2 = lower; image (3ch) and {0,255} mask (1ch) packed per source.
-    nonsleeve = jnp.concatenate(
-        [upper_img * (1 - sleeve_mask), upper_mask * (1 - sleeve_mask)],
-        axis=-1)
-    sleeve_src = jnp.concatenate(
-        [upper_img * sleeve_mask, upper_mask * sleeve_mask], axis=-1)
-    lower_src = jnp.concatenate([lower_img, lower_mask], axis=-1)
-    src_stack = jnp.stack([nonsleeve, sleeve_src, lower_src], axis=1)
+    src_stack = _cut_src_stack(upper_img, lower_img, upper_mask,
+                               lower_mask, sleeve_mask, sleeve_valid)
 
     cut_src_idx = np.array(
         [1 if i in SLEEVE_PARTS else 0 for i in range(n_parts)]
@@ -413,11 +440,30 @@ def cut_window_layout(cut_m_parts, valid, res=512, win=CUT_WINDOW,
     return offsets, fits
 
 
+def part_layouts_for_pair(mu, ml, pinv, valid, paste_fwd=None):
+    """15-slot (upper x10 + lower x5) paste-tile / cut-window layouts for
+    the device warps. One shared implementation for serving.host_prepare
+    and the lean training loader.
+
+    Returns (tile_offsets [15, 2] i32, tiles_fit, cut_window_offsets
+    [15, 2] i32, cut_fits)."""
+    lower = list(LOWER_PARTS)
+    tile10, tiles_fit = paste_tile_layout(
+        pinv, valid[:, 2], paste_fwd_parts=paste_fwd)
+    tile_offsets = np.concatenate([tile10, tile10[lower]], axis=0)
+    cw_u, fits_u = cut_window_layout(mu, valid[:, 0])
+    cw_l, fits_l = cut_window_layout(ml[lower], valid[lower, 1])
+    cut_window_offsets = np.concatenate([cw_u, cw_l], axis=0)
+    return (tile_offsets.astype(np.int32), bool(tiles_fit),
+            cut_window_offsets.astype(np.int32), bool(fits_u and fits_l))
+
+
 def normalize_patches_device_tiled(
     upper_img, lower_img, upper_mask, lower_mask, sleeve_mask,
     upper_cut_m, lower_cut_m, paste_m_inv, part_valid, tile_offsets,
     patch=128, erode_k=5, track_wo_sleeve=False, tile=PASTE_TILE,
     warp_impl="gather", cut_window_offsets=None, cut_window=0,
+    sleeve_valid=None,
 ):
     """Tiled-paste variant of normalize_patches_device.
 
@@ -430,13 +476,8 @@ def normalize_patches_device_tiled(
     lower_parts = list(LOWER_PARTS)
     n_all = n_parts + len(lower_parts)
 
-    nonsleeve = jnp.concatenate(
-        [upper_img * (1 - sleeve_mask), upper_mask * (1 - sleeve_mask)],
-        axis=-1)
-    sleeve_src = jnp.concatenate(
-        [upper_img * sleeve_mask, upper_mask * sleeve_mask], axis=-1)
-    lower_src = jnp.concatenate([lower_img, lower_mask], axis=-1)
-    src_stack = jnp.stack([nonsleeve, sleeve_src, lower_src], axis=1)
+    src_stack = _cut_src_stack(upper_img, lower_img, upper_mask,
+                               lower_mask, sleeve_mask, sleeve_valid)
 
     cut_src_idx = np.array(
         [1 if i in SLEEVE_PARTS else 0 for i in range(n_parts)]

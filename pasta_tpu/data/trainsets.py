@@ -67,6 +67,18 @@ def synthesize_occlusion_mask(rng, size=RES):
     return mask
 
 
+def draw_occlusion_mask(rng, occlusion_mask_dir=None, occlusion_files=None):
+    """p=0.9 random occlusion mask: an ACGPN file when a mask dir is
+    supplied, else a synthesized blob (dataset.py:1226-1241)."""
+    if rng.rand() >= 0.9:
+        return np.zeros((RES, RES, 1), np.uint8)
+    if occlusion_files:
+        fname = occlusion_files[rng.randint(len(occlusion_files))]
+        m = cv2.imread(os.path.join(occlusion_mask_dir or "", fname))
+        return (m[..., 0:1] > 0).astype(np.uint8)
+    return synthesize_occlusion_mask(rng)
+
+
 def preprocess_person_train(person: PersonRecord,
                             rng: np.random.RandomState,
                             occlusion_mask_dir: Optional[str] = None,
@@ -119,14 +131,7 @@ def preprocess_person_train(person: PersonRecord,
     # random occlusion of the denorm garments (dataset.py:1226-1241)
     denorm_upper = norm["denorm_upper_img"]
     denorm_lower = norm["denorm_lower_img"]
-    occ = np.zeros((RES, RES, 1), np.uint8)
-    if rng.rand() < 0.9:
-        if occlusion_files:
-            fname = occlusion_files[rng.randint(len(occlusion_files))]
-            m = cv2.imread(os.path.join(occlusion_mask_dir or "", fname))
-            occ = (m[..., 0:1] > 0).astype(np.uint8)
-        else:
-            occ = synthesize_occlusion_mask(rng)
+    occ = draw_occlusion_mask(rng, occlusion_mask_dir, occlusion_files)
     denorm_upper = denorm_upper * (1 - occ)
     denorm_lower = denorm_lower * (1 - occ)
 
@@ -317,8 +322,7 @@ def preprocess_person_train_lean(person: PersonRecord,
     load_person(pose_raster="device") records.
     """
     from .device_cond import palm_device_params
-    from .device_warp import (host_matrices_for_pair, paste_tile_layout,
-                              cut_window_layout, LOWER_PARTS)
+    from .device_warp import host_matrices_for_pair, part_layouts_for_pair
 
     assert person.pose_params is not None, \
         "lean loader needs load_person(pose_raster='device')"
@@ -347,14 +351,8 @@ def preprocess_person_train_lean(person: PersonRecord,
     kps = person.keypoints
     mu, ml, pinv, valid, pfwd = host_matrices_for_pair(
         kps, kps, kps, return_paste_fwd=True)
-    tile_offsets10, tiles_fit = paste_tile_layout(
-        pinv, valid[:, 2], paste_fwd_parts=pfwd)
-    tile_offsets = np.concatenate(
-        [tile_offsets10, tile_offsets10[list(LOWER_PARTS)]], axis=0)
-    cw_u, cut_fits_u = cut_window_layout(mu, valid[:, 0])
-    cw_l, cut_fits_l = cut_window_layout(
-        ml[list(LOWER_PARTS)], valid[list(LOWER_PARTS), 1])
-    cut_window_offsets = np.concatenate([cw_u, cw_l], axis=0)
+    tile_offsets, tiles_fit, cut_window_offsets, cut_fits = \
+        part_layouts_for_pair(mu, ml, pinv, valid, pfwd)
 
     # RNG draws for the erasure augmentation (dataset.py:1139-1170): the
     # branch conditions/uniforms are host scalars, the bbox-dependent strip
@@ -368,14 +366,7 @@ def preprocess_person_train_lean(person: PersonRecord,
         float(rng.randint(1, PATCH // 10)),
     ], np.float32)
 
-    occ = np.zeros((RES, RES, 1), np.uint8)
-    if rng.rand() < 0.9:
-        if occlusion_files:
-            fname = occlusion_files[rng.randint(len(occlusion_files))]
-            m = cv2.imread(os.path.join(occlusion_mask_dir or "", fname))
-            occ = (m[..., 0:1] > 0).astype(np.uint8)
-        else:
-            occ = synthesize_occlusion_mask(rng)
+    occ = draw_occlusion_mask(rng, occlusion_mask_dir, occlusion_files)
 
     gp = person.garment_parsing
     return dict(
@@ -383,6 +374,7 @@ def preprocess_person_train_lean(person: PersonRecord,
         parsing=person.parsing.astype(np.uint8, copy=False),                   # u8
         garment_parsing=(gp.astype(np.uint8, copy=False) if gp is not None
                          else np.zeros_like(person.parsing, np.uint8)),
+        sleeve_valid=np.asarray(1.0 if gp is not None else 0.0, np.float32),
         upper_lut=pp.label_lut(upper_labels),
         lower_lut=pp.label_lut(lower_labels),
         gt_lut=gt_lut,
@@ -390,10 +382,10 @@ def preprocess_person_train_lean(person: PersonRecord,
         bound_row=np.asarray(bound_row, np.int32),
         upper_cut_m=mu, lower_cut_m=ml, paste_m_inv=pinv,
         part_valid=valid,
-        tile_offsets=tile_offsets.astype(np.int32),
+        tile_offsets=tile_offsets,
         tiles_fit=np.asarray(tiles_fit),
-        cut_window_offsets=cut_window_offsets.astype(np.int32),
-        cut_fits=np.asarray(bool(cut_fits_u and cut_fits_l)),
+        cut_window_offsets=cut_window_offsets,
+        cut_fits=np.asarray(cut_fits),
         erasure=erasure,
         occlusion=occ,
         **{k: np.asarray(v) for k, v in person.pose_params.items()},
@@ -449,7 +441,8 @@ def assemble_train_batch_lean(raw, tiled=True, cut_windowed=True,
     gp = raw["garment_parsing"]
     sleeve = ((gp == 10) | (gp == 11)).astype(jnp.float32)
 
-    norm_kw = dict(erode_k=5, warp_impl=warp_impl)
+    norm_kw = dict(erode_k=5, warp_impl=warp_impl,
+                   sleeve_valid=raw["sleeve_valid"])
     if tiled:
         if cut_windowed:
             norm_kw.update(cut_window_offsets=raw["cut_window_offsets"],

@@ -30,6 +30,7 @@ from .data.device_warp import (
     normalize_patches_device, normalize_patches_device_tiled,
     host_matrices_for_pair, erode, bound_from_mask_top,
     zero_bound_above_mask_bottom, paste_tile_layout, cut_window_layout,
+    part_layouts_for_pair,
     mirror_sleeves_device as _mirror_sleeves,
     zero_conflicts_device as _zero_conflicts,
     CUT_WINDOW, LOWER_PARTS)
@@ -84,16 +85,8 @@ def host_prepare(person, clothes, mode, use_sleeve_mask=True, cond="host"):
     mu, ml, pinv, valid, pfwd = host_matrices_for_pair(
         upper_src.keypoints, lower_src.keypoints, person.keypoints,
         return_paste_fwd=True)
-    tile_offsets10, tiles_fit = paste_tile_layout(
-        pinv, valid[:, 2], paste_fwd_parts=pfwd)
-    # offsets for the 15-slot (upper x10 + lower x5) device layout
-    tile_offsets = np.concatenate(
-        [tile_offsets10, tile_offsets10[list(LOWER_PARTS)]], axis=0)
-    # source windows for the matmul cut warps, same 15-slot layout
-    cw_u, cut_fits_u = cut_window_layout(mu, valid[:, 0])
-    cw_l, cut_fits_l = cut_window_layout(
-        ml[list(LOWER_PARTS)], valid[list(LOWER_PARTS), 1])
-    cut_window_offsets = np.concatenate([cw_u, cw_l], axis=0)
+    tile_offsets, tiles_fit, cut_window_offsets, cut_fits = \
+        part_layouts_for_pair(mu, ml, pinv, valid, pfwd)
 
     # Host-side conditioning scalars (keypoint/bbox logic, preprocess_pair
     # parity). The warp-dependent parts of the bound (upper garment bottom,
@@ -149,10 +142,14 @@ def host_prepare(person, clothes, mode, use_sleeve_mask=True, cond="host"):
     common = dict(
         upper_cut_m=mu, lower_cut_m=ml, paste_m_inv=pinv, part_valid=valid,
         image=person.image,                                         # u8
-        tile_offsets=tile_offsets.astype(np.int32),
+        # distinguishes host sleeve_mask=None (garment unrouted) from a
+        # present-but-empty sleeve mask — see device_warp._cut_src_stack
+        sleeve_valid=np.asarray(
+            1.0 if sleeve_gp is not None else 0.0, np.float32),
+        tile_offsets=tile_offsets,
         tiles_fit=np.asarray(tiles_fit),
-        cut_window_offsets=cut_window_offsets.astype(np.int32),
-        cut_fits=np.asarray(bool(cut_fits_u and cut_fits_l)),
+        cut_window_offsets=cut_window_offsets,
+        cut_fits=np.asarray(cut_fits),
         dress_transfer=np.asarray(
             0.0 if (mode == "full" and clothes_rt["dresses"][1] > 0)
             else 1.0, np.float32),
@@ -324,14 +321,15 @@ def assemble_inputs_device(host: Dict[str, jnp.ndarray], mode: str,
             host["upper_cut_m"], host["lower_cut_m"], host["paste_m_inv"],
             host["part_valid"], host["tile_offsets"], erode_k=erode_k,
             track_wo_sleeve=(mode == "upper"), warp_impl=warp_impl,
-            **cut_kw)
+            sleeve_valid=host.get("sleeve_valid"), **cut_kw)
     else:
         norm = normalize_patches_device(
             host["upper_img"], host["lower_img"],
             host["upper_mask"], host["lower_mask"], host["sleeve"],
             host["upper_cut_m"], host["lower_cut_m"], host["paste_m_inv"],
             host["part_valid"], erode_k=erode_k,
-            track_wo_sleeve=(mode == "upper"), warp_impl=warp_impl)
+            track_wo_sleeve=(mode == "upper"), warp_impl=warp_impl,
+            sleeve_valid=host.get("sleeve_valid"))
     if mode in ("upper", "lower"):
         norm = _zero_conflicts(norm)
     norm = _mirror_sleeves(norm)
@@ -395,13 +393,14 @@ class TryonPipeline:
 
     def __init__(self, variables, mode="upper", model: Optional[Generator] = None,
                  noise_mode="const", warp_impl="auto", cond="host",
-                 mesh=None):
+                 mesh=None, seed=0):
         self.model = model or Generator()
         self.variables = variables
         self.mode = mode
         self.noise_mode = noise_mode
         self.cond = cond
         self.mesh = mesh
+        self._noise_key = jax.random.PRNGKey(seed)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -412,12 +411,14 @@ class TryonPipeline:
 
         @functools.partial(jax.jit,
                            static_argnames=("tiled", "cut_windowed"))
-        def _run(variables, host_batch, tiled=False, cut_windowed=False):
+        def _run(variables, host_batch, noise_key, tiled=False,
+                 cut_windowed=False):
             inputs = assemble_inputs_device(
                 host_batch, mode, tiled=tiled, warp_impl=warp_impl,
                 cut_windowed=cut_windowed)
+            rngs = {"noise": noise_key} if noise_mode == "random" else None
             img, finetune, parsing = self.model.apply(
-                variables, noise_mode=noise_mode, **inputs)
+                variables, rngs=rngs, noise_mode=noise_mode, **inputs)
             return finetune
 
         self._run = _run
@@ -441,7 +442,8 @@ class TryonPipeline:
                 f"{self.mesh.size}")
             batch = {k: jax.device_put(v, self._batch_sharding)
                      for k, v in batch.items()}
+        self._noise_key, sub = jax.random.split(self._noise_key)
         # two-stage: uint8 transfer + boundary-pinning cast program, then
         # the main warp+forward program (see ingest_device).
-        return self._run(self.variables, ingest_device(batch), tiled=tiled,
-                         cut_windowed=cut_windowed)
+        return self._run(self.variables, ingest_device(batch), sub,
+                         tiled=tiled, cut_windowed=cut_windowed)

@@ -151,3 +151,32 @@ def test_pipeline_mesh_matches_single():
     rng = out_s.max() - out_s.min()
     assert diff.mean() / rng < 1e-4, (diff.mean(), rng)
     assert np.mean(diff > 0.01 * rng) < 1e-3, np.mean(diff > 0.01 * rng)
+
+
+@needs_fixtures
+def test_device_inputs_match_host_without_sleeve_mask():
+    """use_sleeve_mask=False: the host oracle cuts sleeve parts from the
+    UNROUTED garment (sleeve_mask=None); the device path must reproduce
+    that via sleeve_valid=0, not an all-zeros sleeve mask."""
+    ds = TryonPairDataset(FIXTURES, "test_pairs.txt", mode="upper",
+                          use_sleeve_mask=False)
+    person_name, clothes_name = ds.pairs[1]
+    person = pp.load_person(FIXTURES, person_name)
+    clothes = pp.load_person(FIXTURES, clothes_name,
+                             with_garment_parsing=True)
+
+    host_item = pp.preprocess_pair(person, clothes, "upper",
+                                   use_sleeve_mask=False)
+    host_inputs, _ = to_model_inputs([host_item])
+    prep = host_prepare(person, clothes, "upper", use_sleeve_mask=False)
+    batch = {k: jnp.asarray(np.stack([v])) for k, v in prep.items()}
+    dev_inputs = jax.jit(lambda b: assemble_inputs_device(b, "upper"))(batch)
+    # the sleeve patches live in the style channels; frac-compare like the
+    # sleeved test
+    a = np.asarray(dev_inputs["c"])
+    b = np.asarray(host_inputs["c"])
+    frac = np.mean(np.abs(a - b) > 0.02)
+    assert frac < 0.03, frac
+    # the sleeve patch slots must NOT be empty when the garment has arms
+    sleeve_ch = a[..., 6:18]  # parts 2-5 x 3ch
+    assert np.mean(sleeve_ch > -1 + 1e-3) > 0.01

@@ -128,3 +128,32 @@ def test_lean_dataset_and_loader_shapes():
     # host accessor unchanged (evaluator/grid consumers)
     host_item = ds[0]
     assert "norm_img" in host_item and "pose" in host_item
+
+
+@needs_fixtures
+def test_lean_matches_host_without_garment_parsing():
+    """No garment_parsing sidecar: host sleeve_mask=None leaves the garment
+    unrouted; the lean loader must ship sleeve_valid=0 (NOT an active
+    all-zeros mask, which would empty every sleeve patch)."""
+    nm = _names(1)[0]
+    host_rng, lean_rng = _FakeRng([0.9]), _FakeRng([0.9])
+    ph = pp.load_person(FIXTURES, nm, with_garment_parsing=False)
+    hi = preprocess_person_train(ph, host_rng)
+    pd = pp.load_person(FIXTURES, nm, with_garment_parsing=False,
+                        pose_raster="device")
+    li = preprocess_person_train_lean(pd, lean_rng)
+    raw = {k: jnp.asarray(v) for k, v in batch_to_raw_inputs([hi]).items()}
+    host_out = {k: np.asarray(v)
+                for k, v in jax.jit(assemble_train_batch)(raw).items()}
+    lean_np, tiled, windowed = batch_to_lean_inputs([li])
+    lean_out = jax.jit(
+        assemble_train_batch_lean,
+        static_argnames=("tiled", "cut_windowed", "warp_impl"))(
+        {k: jnp.asarray(v) for k, v in lean_np.items()},
+        tiled=tiled, cut_windowed=windowed, warp_impl="gather")
+    lean_out = {k: np.asarray(v) for k, v in lean_out.items()}
+    _compare(host_out, lean_out)
+    # sleeve slots of style_input must agree (and not be forced empty)
+    frac = np.mean(np.abs(lean_out["style_input"][..., 6:18]
+                          - host_out["style_input"][..., 6:18]) > 0.02)
+    assert frac < 0.03, frac
