@@ -447,3 +447,60 @@ class TryonPipeline:
         # the main warp+forward program (see ingest_device).
         return self._run(self.variables, ingest_device(batch), sub,
                          tiled=tiled, cut_windowed=cut_windowed)
+
+    def run_stream(self, root, pairs, batch_size=8, use_sleeve_mask=True,
+                   num_workers=8, prefetch=2):
+        """Overlapped streaming serving over (person_name, clothes_name)
+        pairs from a data root.
+
+        Host prep (decode + host_prepare) for the next `prefetch` batches
+        runs on a thread pool while the device executes the current batch;
+        device outputs are fetched one batch late so jax's async dispatch
+        overlaps with the next batch's upload. Yields
+        (pairs_chunk, outputs [len(chunk), H, W, 3] np.float32) in order.
+        The tail batch is padded to `batch_size` (one compiled program).
+        """
+        import collections
+        import concurrent.futures
+
+        pose_raster = "device" if self.cond == "device" else "host"
+        sleeve_for = "person" if self.mode == "lower" else "clothes"
+
+        def prep(pair):
+            pn, cn = pair
+            person = pp.load_person(
+                root, pn, pose_raster=pose_raster,
+                with_garment_parsing=(use_sleeve_mask
+                                      and sleeve_for == "person"))
+            clothes = pp.load_person(
+                root, cn,
+                with_garment_parsing=(use_sleeve_mask
+                                      and sleeve_for == "clothes"))
+            return self.prepare(person, clothes, use_sleeve_mask)
+
+        pairs = list(pairs)
+        chunks = [pairs[i:i + batch_size]
+                  for i in range(0, len(pairs), batch_size)]
+        with concurrent.futures.ThreadPoolExecutor(num_workers) as pool:
+            inflight = collections.deque(
+                (c, [pool.submit(prep, p) for p in c])
+                for c in chunks[:prefetch])
+            next_chunk = prefetch
+            pending = None
+            while inflight:
+                chunk, futs = inflight.popleft()
+                items = [f.result() for f in futs]
+                while len(items) < batch_size:
+                    items.append(items[-1])
+                out = self.run_batch(items)      # async dispatch
+                if next_chunk < len(chunks):
+                    c = chunks[next_chunk]
+                    inflight.append((c, [pool.submit(prep, p) for p in c]))
+                    next_chunk += 1
+                if pending is not None:
+                    pc, po = pending
+                    yield pc, np.asarray(po)[:len(pc)]
+                pending = (chunk, out)
+            if pending is not None:
+                pc, po = pending
+                yield pc, np.asarray(po)[:len(pc)]

@@ -180,3 +180,42 @@ def test_device_inputs_match_host_without_sleeve_mask():
     # the sleeve patch slots must NOT be empty when the garment has arms
     sleeve_ch = a[..., 6:18]  # parts 2-5 x 3ch
     assert np.mean(sleeve_ch > -1 + 1e-3) > 0.01
+
+
+@needs_fixtures
+def test_run_stream_matches_run_batch():
+    """Streaming serving (thread-pool prep + one-batch-late fetch) yields
+    the same outputs in the same order as sequential run_batch calls."""
+    from pasta_tpu.serving import TryonPipeline
+
+    class _Warps:
+        """Stub model: output = warped denorm stream (skips the generator
+        so the test exercises the pipeline mechanics, not conv stacks)."""
+
+        def apply(self, variables, noise_mode=None, rngs=None, **inputs):
+            x = inputs["denorm_upper_input"] + inputs["retain"][..., 0:3]
+            return x, x * 2.0, None
+
+    pipe = TryonPipeline({}, mode="upper", model=_Warps(), cond="device")
+    ds = TryonPairDataset(FIXTURES, "test_pairs.txt", mode="upper")
+    pairs = [(p, c) for p, c in ds.pairs[:5]]   # 3 chunks at batch 2
+
+    got = []
+    for chunk, out in pipe.run_stream(FIXTURES, pairs, batch_size=2,
+                                      num_workers=2):
+        assert out.shape[0] == len(chunk)
+        got.append((chunk, out))
+    assert [c for c, _ in got] == [pairs[0:2], pairs[2:4], pairs[4:5]]
+
+    # sequential reference
+    for chunk, out in got:
+        items = []
+        for pn, cn in chunk:
+            person = pp.load_person(FIXTURES, pn, pose_raster="device")
+            clothes = pp.load_person(FIXTURES, cn,
+                                     with_garment_parsing=True)
+            items.append(pipe.prepare(person, clothes))
+        while len(items) < 2:
+            items.append(items[-1])
+        ref = np.asarray(pipe.run_batch(items))[:len(chunk)]
+        np.testing.assert_allclose(out, ref, atol=1e-5)
