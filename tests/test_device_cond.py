@@ -162,3 +162,36 @@ def test_ingest_device_cond_matches_host_path():
             assert neq.mean() < 2e-3, neq.mean()
         else:
             assert np.array_equal(out_h[k], out_d[k]), k
+
+
+def test_garment_class_routing_matches_masks_randomized():
+    """Random label maps drive every branch of the disambiguation cascade
+    (pants-vs-skirt merge, dress-with-pants, dress-dominant, dress-to-
+    tops/skirt) — the fixtures are mostly pants-wearing."""
+    rng = np.random.RandomState(7)
+    labels = [0, 5, 6, 7, 9, 10, 12, 13, 14]
+    for trial in range(20):
+        # biased draws so each class can dominate or vanish
+        probs = rng.dirichlet(np.ones(len(labels)) * 0.3)
+        parsing = rng.choice(labels, size=(64, 64, 1), p=probs)
+        masks = pp.garment_class_masks(parsing)
+        routes = pp.garment_class_routing(parsing)
+        for k, mask in masks.items():
+            labels_k, count = routes[k]
+            assert int(mask.sum()) == count, (trial, k)
+            assert np.array_equal(pp.label_lut(labels_k)[parsing], mask), \
+                (trial, k)
+
+
+def test_skin_median_randomized():
+    rng = np.random.RandomState(3)
+    for trial in range(6):
+        img = rng.randint(0, 256, (1, 64, 64, 3), np.uint8)
+        parsing = rng.choice([0, 10, 13], size=(1, 64, 64, 1),
+                             p=[0.8, 0.1, 0.1])
+        if trial == 5:
+            parsing = np.zeros_like(parsing)  # empty mask -> 0.0
+        dev = np.asarray(dc.skin_median_device(
+            jnp.asarray(img), jnp.asarray(parsing)))[0]
+        ref = pp.skin_median_color(img[0], parsing[0])
+        assert np.allclose(dev, ref), (trial, dev, ref)

@@ -157,3 +157,39 @@ def test_lean_matches_host_without_garment_parsing():
     frac = np.mean(np.abs(lean_out["style_input"][..., 6:18]
                           - host_out["style_input"][..., 6:18]) > 0.02)
     assert frac < 0.03, frac
+
+
+@needs_fixtures
+def test_lean_matches_host_erasure_branch_b():
+    """Branch B of the erasure augmentation: zero torso-patch rows
+    [ty:by) where ty is the warped mask's bbox top — ty is computed on
+    device from the warped masks, by from the shipped uniform."""
+    nm = _names(1)[0]
+    rec = pp.load_person(FIXTURES, nm, with_garment_parsing=True)
+    # find ty like the host _train_erasure does
+    cls = pp.garment_class_masks(rec.parsing)
+    upper_mask = cls["tops"] + cls["dresses"]
+    lower_mask = cls["skirt"] + cls["pants"]
+    norm = pp.normalize_patches(
+        upper_mask * rec.image, lower_mask * rec.image,
+        np.repeat(upper_mask, 3, axis=2) * 255,
+        np.repeat(lower_mask, 3, axis=2) * 255,
+        pp.sleeve_mask_from(rec),
+        upper_cut_kps=rec.keypoints, lower_cut_kps=rec.keypoints,
+        paste_kps=rec.keypoints, erode_k=5)
+    bbox = pp.mask_to_bbox(norm["norm_clothes_masks_lower"][..., 0:1])
+    assert bbox is not None, "fixture has no lower garment; pick another"
+    ty = bbox[1]
+    by = min(ty + 4, 128)
+    u_by = (by - ty - 1 + 0.5) / (128 - ty)
+
+    host_rng = _FakeRng([0.1, 0.7, 0.95], randints=[by])
+    lean_rng = _FakeRng([0.1, 0.7, 0.5, u_by, 0.95], randints=[5])
+    host_out, lean_out = _build([nm], host_rng, lean_rng)
+    _compare(host_out, lean_out)
+    # rows [ty:by) of the torso slot are erased on both paths
+    assert np.all(host_out["style_input"][:, ty:by, :, 30:33] == -1.0)
+    assert np.all(lean_out["style_input"][:, ty:by, :, 30:33] == -1.0)
+    # and a row below the strip is NOT fully erased
+    if by < 128:
+        assert np.any(host_out["style_input"][:, by:, :, 30:33] > -1.0)
