@@ -67,6 +67,27 @@ def _pad_lr(arr, left, right, value):
     return out
 
 
+def _png_palette_blue(data):
+    """[256] uint8 blue components of a PNG's PLTE chunk, or None.
+
+    Chunk walk: 8-byte signature, then length/type/data/crc records."""
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        length = int.from_bytes(data[pos:pos + 4], "big")
+        ctype = data[pos + 4:pos + 8]
+        if ctype == b"PLTE":
+            plte = np.frombuffer(
+                data[pos + 8:pos + 8 + length], np.uint8).reshape(-1, 3)
+            blue = np.zeros(256, np.uint8)
+            blue[:len(plte)] = plte[:, 2]
+            return blue
+        if ctype == b"IDAT":
+            return None                     # PLTE must precede IDAT
+        pos += 12 + length
+    return None
+
+
 def _decode_label_plane(root, rel):
     """Parsing-map decode with cv2.imread-channel-0 semantics.
 
@@ -77,14 +98,21 @@ def _decode_label_plane(root, rel):
     cv2.imread and takes [:, :, 0]).
     """
     data = root.read(rel)
-    # IHDR color type: 0 grayscale, 2 truecolor, 6 truecolor+alpha decode
-    # natively; palette (3) keeps cv2's palette-expansion semantics.
-    if len(data) > 25 and data[25] in (0, 2, 6):
+    # IHDR color type: 0 grayscale, 2 truecolor, 3 palette, 6 +alpha all
+    # decode natively; anything else falls back to cv2.
+    if len(data) > 25 and data[25] in (0, 2, 3, 6):
         from .. import native
         if native.available():
             try:
                 plane = np.asarray(native.decode_image(data))
                 if plane.ndim == 2:
+                    if data[25] == 3:
+                        # palette index plane -> cv2's expanded blue
+                        # channel via the PLTE table
+                        blue = _png_palette_blue(data)
+                        if blue is None:
+                            raise ValueError("no PLTE")
+                        plane = blue[plane]
                     return plane[..., None]
                 if plane.shape[2] in (3, 4):
                     # cv2.imread(COLOR) yields BGR (alpha dropped); its

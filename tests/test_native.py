@@ -176,3 +176,31 @@ def test_label_plane_decode_matches_cv2_all_color_types():
                 np.frombuffer(root.read(rel), np.uint8),
                 cv2.IMREAD_COLOR)[..., 0:1]
             assert np.array_equal(got, ref), rel
+
+
+def test_label_plane_palette_decode_matches_cv2(tmp_path):
+    """Palette PNGs: native index plane + python PLTE blue lookup ==
+    cv2's palette-expanded channel 0."""
+    import io
+
+    import cv2
+    import PIL.Image
+
+    from pasta_tpu.data.preprocess import _decode_label_plane
+    from pasta_tpu.data.roots import as_root
+
+    rng = np.random.RandomState(4)
+    idx = rng.randint(0, 20, (40, 30), np.uint8)
+    img = PIL.Image.fromarray(idx, mode="P")
+    img.putpalette([v for i in range(256) for v in (i, 255 - i, (i * 7) % 256)])
+    path = tmp_path / "p.png"
+    img.save(path, "PNG")
+    data = path.read_bytes()
+    assert data[25] == 3  # palette color type
+
+    got = _decode_label_plane(as_root(str(tmp_path)), "p.png")
+    ref = cv2.imdecode(np.frombuffer(data, np.uint8),
+                       cv2.IMREAD_COLOR)[..., 0:1]
+    assert np.array_equal(got, ref)
+    # the blue entries are (i*7)%256 -> nontrivial mapping exercised
+    assert not np.array_equal(got[..., 0], idx)
