@@ -159,6 +159,19 @@ class SynthesisNetwork(nn.Module):
             return nn.remat(SpadeResBlock) if _remat_at(res) \
                 else SpadeResBlock
 
+        # Per-resolution skip entries, pre-cast to their consumer block's
+        # dtype OUTSIDE the remat boundary: a remat'd bf16 block then saves
+        # a bf16 residual (and one tensor, not the whole f32 dict) — the
+        # batch-16 HBM driver in round 2's profile.
+        def _blk_dtype(res):
+            return jnp.bfloat16 if res >= bf16_res else jnp.float32
+
+        cat_cast = {
+            res: cat_feat[str(res)].astype(_blk_dtype(res))
+            for res in resolutions
+            if res > 32 and str(res) in cat_feat
+        }
+
         # Style branch: b8 ... b512. torgb of block k shares its w with
         # block k+1's conv0 (reference ws.narrow slicing, networks.py:2281-2289).
         x = img = None
@@ -179,10 +192,15 @@ class SynthesisNetwork(nn.Module):
                 **block_common,
             )
             cur_ws = ws[:, w_idx : w_idx + n_conv + 1]
+            if x is not None:
+                # cast outside the remat boundary: the saved residual is
+                # then bf16 for bf16 blocks (identical numerics — the
+                # block's internal astype becomes a no-op)
+                x = x.astype(_blk_dtype(res))
             # noise_mode positionally: nn.remat static_argnums indexes
             # positional args only (self=0).
-            x, img, pp = block(x, img, cur_ws, pose_feat, cat_feat,
-                               noise_mode)
+            x, img, pp = block(x, img, cur_ws, pose_feat,
+                               cat_cast.get(res), noise_mode)
             if pp is not None:
                 pred_parsing = pp
             if res == resolutions[-2]:
@@ -247,8 +265,8 @@ class SynthesisNetwork(nn.Module):
         )
         last_ws = ws[:, self.num_ws - 3 : self.num_ws]
         _, finetune_img, _ = texture(
-            x_spade, img_256, last_ws, pose_feat, cat_feat, parsing_index,
-            noise_mode)
+            x_spade.astype(_blk_dtype(res_512)), img_256, last_ws, pose_feat,
+            cat_cast.get(res_512), parsing_index, noise_mode)
 
         return img, finetune_img, pred_parsing
 

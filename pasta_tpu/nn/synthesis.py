@@ -284,7 +284,12 @@ class _SynthesisBlockBase(nn.Module):
         return jnp.bfloat16 if self.use_bf16 else jnp.float32
 
     def _main(self, x, ws, pose_feature, cat_feat, noise_mode):
-        """conv0/conv1 (+cat_feat merge); returns features pre-SPADE."""
+        """conv0/conv1 (+cat_feat merge); returns features pre-SPADE.
+
+        cat_feat is this block's OWN-resolution skip entry (or None for
+        res <= 32) — passed as a single tensor, pre-cast by the caller,
+        so a remat'd block saves one (possibly bf16) residual instead of
+        the whole f32 skip dict."""
         layer_common = dict(
             w_dim=self.w_dim,
             resolution=self.resolution,
@@ -310,8 +315,7 @@ class _SynthesisBlockBase(nn.Module):
             merge_conv = Conv2dLayer(
                 self.out_channels + 64, self.out_channels, kernel_size=1,
                 resample_filter=self.resample_filter, name="merge_conv")
-            x = jnp.concatenate(
-                [x, cat_feat[str(self.resolution)].astype(x.dtype)], axis=-1)
+            x = jnp.concatenate([x, cat_feat.astype(x.dtype)], axis=-1)
             x = merge_conv(x)
         return x, w_idx
 
