@@ -35,6 +35,7 @@ from ..data.trainsets import (TryonTrainDataset, assemble_train_batch,
                               batch_to_lean_inputs, batch_to_raw_inputs,
                               batch_to_train_inputs)
 from ..io.checkpoint import save_checkpoint_variables, load_checkpoint_variables
+from ..io.npz_ckpt import save_npz_variables
 from .config import TrainConfig
 from .entry import make_mesh, shard_batch, replicate
 from .state import init_state, make_models, TrainState
@@ -444,6 +445,12 @@ def _training_loop_impl(
             if abort_fn is not None and abort_fn():
                 break
 
+    if n_proc > 1:
+        # The chief's final snapshot (orbax save, grids) can exceed the
+        # coordination service's fixed ~5-min SHUTDOWN barrier on a slow
+        # host; sync here with the long-timeout barrier so every process
+        # reaches interpreter exit together.
+        _dist_barrier("end-of-run")
     return state
 
 
@@ -524,9 +531,13 @@ def _save_snapshot(cfg, state, batch, run_dir, step):
     from .state import make_models
 
     if batch is None:  # multi-process: checkpoint only
-        ckpt_dir = os.path.join(run_dir, f"ckpt-{step:06d}")
-        save_checkpoint_variables(ckpt_dir, jax.device_get(state))
-        print(f"snapshot: {ckpt_dir}", flush=True)
+        # orbax's save runs sync_global_processes (a cross-process
+        # allgather) internally — a chief-only call deadlocks until the
+        # coordination shutdown timeout kills the job. Write the flat npz
+        # snapshot instead (io.npz_ckpt; loadable via load_npz_variables).
+        path = os.path.join(run_dir, f"ckpt-{step:06d}.npz")
+        save_npz_variables(path, jax.device_get(state))
+        print(f"snapshot: {path}", flush=True)
         return
     g, _, _ = make_models(cfg)
     n_vis = min(8, batch["real_img"].shape[0])

@@ -42,6 +42,13 @@ def run_smoke(steps=2, data="/root/reference/test_datas", devices=8,
     procs = []
     for pid in range(2):
         env = dict(os.environ)
+        # The container's axon sitecustomize (gated on PALLAS_AXON_POOL_IPS)
+        # force-prepends the axon platform at interpreter start — env
+        # JAX_PLATFORMS=cpu alone does NOT stick (config ends up
+        # "axon,cpu"), and with the tunnel down the subprocesses then hang
+        # initializing the axon backend. This smoke is about the CPU-mesh
+        # multi-process bootstrap; drop the plugin env entirely.
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                             f" --xla_force_host_platform_device_count={local}")
