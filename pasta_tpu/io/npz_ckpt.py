@@ -19,6 +19,20 @@ def save_npz_variables(path, variables):
     np.savez(path, **out)
 
 
+def load_npz_into(path, template):
+    """Restore an npz saved by save_npz_variables into `template`'s pytree
+    structure (dataclasses included) — the resume loader for the
+    multi-process training snapshots. Uses the identical flatten paths, so
+    the roundtrip is exact by construction."""
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for keypath, _ in flat:
+        segs = [str(getattr(k, "key", k)) for k in keypath]
+        leaves.append(data[SEP.join(segs)])
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def load_npz_variables(path):
     data = np.load(path)
     tree = {}

@@ -300,8 +300,15 @@ def _training_loop_impl(
 
     summarize_state(state)  # startup accounting (misc.py:201-269 analogue)
     if resume_path is not None:
-        state = load_checkpoint_variables(
-            resume_path, jax.tree.map(np.asarray, state))
+        if resume_path.endswith(".npz"):
+            # multi-process snapshots (io/npz_ckpt; see _save_snapshot)
+            from ..io.npz_ckpt import load_npz_into
+
+            state = load_npz_into(resume_path,
+                                  jax.tree.map(np.asarray, state))
+        else:
+            state = load_checkpoint_variables(
+                resume_path, jax.tree.map(np.asarray, state))
         state = TrainState(*state) if isinstance(state, (tuple, list)) else state
         # The reference speeds up ADA adaptation and disables the EMA rampup
         # on resume (train.py:340-342); orbax restores ada_p/step exactly, so

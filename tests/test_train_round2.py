@@ -200,3 +200,31 @@ class TestPrecisionAndRemat:
         scale = np.abs(a).max() + 1e-6
         mean_rel = np.abs(b - a).mean() / scale
         assert mean_rel < 0.02, mean_rel   # bf16 ~3 decimal digits, averaged
+
+
+def test_npz_state_roundtrip(tmp_path):
+    """Multi-process snapshots (flat npz) restore exactly into a fresh
+    TrainState template — the orbax-free resume path (orbax's save
+    deadlocks when called chief-only; see train/loop._save_snapshot)."""
+    import numpy as np
+
+    from pasta_tpu.io.npz_ckpt import load_npz_into, save_npz_variables
+    from pasta_tpu.train.config import TrainConfig
+
+    cfg = TrainConfig(resolution=32, batch_size=2, data_axis_size=1,
+                      channel_base=1024, channel_max=64, mbstd_group_size=2)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    host = jax.tree.map(np.asarray, state)
+    path = str(tmp_path / "state.npz")
+    save_npz_variables(path, host)
+
+    template = jax.tree.map(np.zeros_like,
+                            jax.tree.map(np.asarray,
+                                         init_state(cfg,
+                                                    jax.random.PRNGKey(7))))
+    restored = load_npz_into(path, template)
+    flat_a = jax.tree_util.tree_leaves(host)
+    flat_b = jax.tree_util.tree_leaves(restored)
+    assert len(flat_a) == len(flat_b) and len(flat_a) > 50
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
