@@ -472,12 +472,15 @@ class TryonPipeline:
                 root, pn, pose_raster=pose_raster,
                 with_garment_parsing=(use_sleeve_mask
                                       and sleeve_for == "person"))
+            # host_prepare never reads the clothes pose image; the device
+            # raster mode skips that per-pair host raster (scalars only)
             clothes = pp.load_person(
-                root, cn,
+                root, cn, pose_raster="device",
                 with_garment_parsing=(use_sleeve_mask
                                       and sleeve_for == "clothes"))
             return self.prepare(person, clothes, use_sleeve_mask)
 
+        prefetch = max(1, prefetch)
         pairs = list(pairs)
         chunks = [pairs[i:i + batch_size]
                   for i in range(0, len(pairs), batch_size)]

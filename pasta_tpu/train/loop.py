@@ -35,7 +35,7 @@ from ..data.trainsets import (TryonTrainDataset, assemble_train_batch,
                               batch_to_lean_inputs, batch_to_raw_inputs,
                               batch_to_train_inputs)
 from ..io.checkpoint import save_checkpoint_variables, load_checkpoint_variables
-from ..io.npz_ckpt import save_npz_variables
+from ..io.npz_ckpt import load_npz_into, save_npz_variables
 from .config import TrainConfig
 from .entry import make_mesh, shard_batch, replicate
 from .state import init_state, make_models, TrainState
@@ -302,8 +302,6 @@ def _training_loop_impl(
     if resume_path is not None:
         if resume_path.endswith(".npz"):
             # multi-process snapshots (io/npz_ckpt; see _save_snapshot)
-            from ..io.npz_ckpt import load_npz_into
-
             state = load_npz_into(resume_path,
                                   jax.tree.map(np.asarray, state))
         else:
@@ -541,7 +539,9 @@ def _save_snapshot(cfg, state, batch, run_dir, step):
         # orbax's save runs sync_global_processes (a cross-process
         # allgather) internally — a chief-only call deadlocks until the
         # coordination shutdown timeout kills the job. Write the flat npz
-        # snapshot instead (io.npz_ckpt; loadable via load_npz_variables).
+        # snapshot instead; training resume restores it via
+        # load_npz_into(path, state_template) (the keys are TrainState
+        # attribute paths, not inference variables).
         path = os.path.join(run_dir, f"ckpt-{step:06d}.npz")
         save_npz_variables(path, jax.device_get(state))
         print(f"snapshot: {path}", flush=True)
