@@ -37,15 +37,19 @@ def main():
     from pasta_tpu.models import Generator
     from pasta_tpu.serving import assemble_inputs_device, ingest_device
 
-    model = Generator()
-    host_batch, tiled = bench._fixture_host_batch()
+    g_bf16 = int(os.environ.get("PASTA_BENCH_G_BF16", "3"))
+    warp_impl = os.environ.get("PASTA_BENCH_WARP", "auto")
+    model = Generator(num_bf16_res=g_bf16)
+    host_batch, tiled, cut_windowed = bench._fixture_host_batch()
     # Stage split as in production/bench: ingest pins f32 layouts at a jit
     # boundary; profiling the fused single-program variant instead shows the
     # transposed-layout gather pathology (91 ms paste gathers).
     f32_batch = jax.block_until_ready(ingest_device(host_batch))
 
     def single(variables, fb):
-        inputs = assemble_inputs_device(fb, "upper", tiled=tiled)
+        inputs = assemble_inputs_device(
+            fb, "upper", tiled=tiled, warp_impl=warp_impl,
+            cut_windowed=cut_windowed)
         img, finetune, parsing = model.apply(
             variables, noise_mode="const", **inputs)
         return finetune
