@@ -27,6 +27,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: the serving programs take minutes to compile
+# cold over the axon tunnel; repeat bench runs must not pay that again.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("PASTA_BENCH_CACHE",
+                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".jax_bench_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_IMAGES_PER_SEC = 64.0
 FIXTURES = "/root/reference/test_datas"
 BATCH = 8

@@ -93,14 +93,9 @@ class SynthesisNetwork(nn.Module):
 
         return encode
 
-    def _get_spade_feat(self, spade_encode, mask_512, denorm_mask,
-                        denorm_input, enc_dtype=jnp.float32):
-        """Encode denorm garment; fill predicted-but-not-covered region with
-        the masked average feature (networks.py:2253-2276).
-
-        enc_dtype=bfloat16 runs the encoder convs in bf16 (the 7x7 3->64 and
-        64-ch resblocks at 512px are a large f32 share of the train step);
-        the valid-region statistics always accumulate in fp32."""
+    def _spade_prepare(self, mask_512, denorm_mask, denorm_input):
+        """Mask math ahead of the spade encoder (networks.py:2253-2264):
+        masked encoder input + the valid / residual 256px region masks."""
         dt = mask_512.dtype
         mask_512 = (mask_512 > 0.9).astype(dt)
         mask_256 = (_nearest_half(mask_512) > 0.9).astype(dt)
@@ -108,9 +103,12 @@ class SynthesisNetwork(nn.Module):
 
         valid_mask = ((mask_256 + denorm_mask_256) == 2.0).astype(dt)
         res_mask = mask_256 - valid_mask
-
         denorm_input = denorm_input * mask_512 - (1 - mask_512)
-        feat = spade_encode(denorm_input.astype(enc_dtype))
+        return denorm_input, valid_mask, res_mask
+
+    def _spade_fill(self, feat, valid_mask, res_mask):
+        """Fill predicted-but-not-covered region with the masked average
+        feature (networks.py:2265-2276); stats accumulate in fp32."""
         valid_feat_sum = jnp.sum(
             feat * valid_mask.astype(feat.dtype), axis=(1, 2), keepdims=True,
             dtype=jnp.float32)
@@ -225,12 +223,21 @@ class SynthesisNetwork(nn.Module):
 
         spade_encode = self._make_spade_encoder()
         enc_dtype = jnp.bfloat16 if self.num_bf16_res > 0 else jnp.float32
-        spade_upper_feat = self._get_spade_feat(
-            spade_encode, jax.lax.stop_gradient(upper_mask),
-            denorm_upper_mask, denorm_upper_input, enc_dtype=enc_dtype)
-        spade_lower_feat = self._get_spade_feat(
-            spade_encode, jax.lax.stop_gradient(lower_mask),
-            denorm_lower_mask, denorm_lower_input, enc_dtype=enc_dtype)
+        # One encoder pass over [upper; lower] stacked on batch (per-sample
+        # independent convs -> numerically identical to two passes, but the
+        # 7x7 stem + 64-ch 512px resblocks run once at 2B instead of twice
+        # at B — fewer op launches on the serving/train critical path).
+        up_in, up_valid, up_res = self._spade_prepare(
+            jax.lax.stop_gradient(upper_mask),
+            denorm_upper_mask, denorm_upper_input)
+        lo_in, lo_valid, lo_res = self._spade_prepare(
+            jax.lax.stop_gradient(lower_mask),
+            denorm_lower_mask, denorm_lower_input)
+        feat2 = spade_encode(
+            jnp.concatenate([up_in, lo_in], axis=0).astype(enc_dtype))
+        n = up_in.shape[0]
+        spade_upper_feat = self._spade_fill(feat2[:n], up_valid, up_res)
+        spade_lower_feat = self._spade_fill(feat2[n:], lo_valid, lo_res)
 
         upper_mask_256 = (_nearest_half(upper_mask) > 0.9).astype(jnp.float32)
         lower_mask_256 = (_nearest_half(lower_mask) > 0.9).astype(jnp.float32)
