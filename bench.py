@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+import threading
 import time
 
 import numpy as np
@@ -38,8 +40,33 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_IMAGES_PER_SEC = 64.0
 FIXTURES = "/root/reference/test_datas"
-BATCH = 8
+BATCH = int(os.environ.get("PASTA_BENCH_BATCH", "8"))
 N_ITERS = 20
+
+# Hang-proofing (round-3 postmortem: the axon tunnel died mid-round and the
+# bench blocked forever inside a jit, so the driver recorded rc=124 and NO
+# number at all). The measurement now runs on a worker thread under a total
+# wall-clock budget, with a tighter sub-deadline on the device-liveness
+# probe (cold tunnel attach measured at ~205 s; compiles are cached). On
+# expiry the main thread emits an error JSON line — a bench that can print
+# *nothing* is not a bench — and hard-exits (the worker may be stuck in C++).
+BUDGET_S = float(os.environ.get("PASTA_BENCH_BUDGET_S", "2700"))
+PROBE_BUDGET_S = float(os.environ.get("PASTA_BENCH_PROBE_S", "600"))
+
+_STAGE = {"name": "startup", "t0": time.time()}
+
+
+def _stage(name):
+    _STAGE["name"] = name
+
+
+def _probe_device():
+    """Tiny jit: proves the backend is attached, compiling, and executing."""
+    _stage("device_probe")
+    x = jnp.ones((256, 256), jnp.float32)
+    y = (x @ x).block_until_ready()
+    assert float(y[0, 0]) == 256.0
+    _stage("measure")
 
 
 """Serving person-conditioning stage: "device" (default) computes the pose
@@ -118,6 +145,8 @@ def _perturb(batch, acc):
 def main():
     from pasta_tpu.models import Generator
     from pasta_tpu.serving import assemble_inputs_device, ingest_device
+
+    _probe_device()
 
     # Serving mixed precision: run the generator's top-N-resolution blocks
     # in bf16 (PASTA_BENCH_G_BF16, default 3 — mirrors the reference's
@@ -228,6 +257,7 @@ def main():
         # container has ONE, so min(host, device) here measures the
         # container, not the framework). Both stages are reported; the
         # pipelined composite on this host is min of the two.
+        _stage("host_bench")
         host_ips = _host_throughput(cond=cond)
         ncores = os.cpu_count() or 1
         record.update({
@@ -235,8 +265,51 @@ def main():
             "host_cores": ncores,
             "pipelined_on_this_host": round(min(host_ips, device_ips), 2),
         })
+    return record
+
+
+def _emit(record):
     print(json.dumps(record))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
-    main()
+    result = {}
+
+    def _work():
+        try:
+            result["record"] = main()
+        except BaseException as e:  # noqa: BLE001 — reported as JSON below
+            result["error"] = f"{type(e).__name__}: {e}"[:500]
+
+    worker = threading.Thread(target=_work, daemon=True)
+    worker.start()
+    # Phase 1: the device probe gets its own (sub-)deadline so a dead
+    # tunnel is reported as such, quickly, rather than as budget overrun.
+    deadline = time.time() + PROBE_BUDGET_S
+    while worker.is_alive() and time.time() < deadline:
+        if _STAGE["name"] not in ("startup", "device_probe"):
+            break
+        worker.join(timeout=2.0)
+    if worker.is_alive() and _STAGE["name"] in ("startup", "device_probe"):
+        _emit({"metric": "tryon_512px_serving_throughput", "value": None,
+               "unit": "images/sec/chip", "vs_baseline": None,
+               "error": "device unreachable: liveness probe did not "
+                        f"complete in {PROBE_BUDGET_S:.0f}s",
+               "stage": _STAGE["name"]})
+        os._exit(0)
+    # Phase 2: total wall-clock budget for the measurement itself.
+    worker.join(timeout=max(1.0, BUDGET_S - (time.time() - _STAGE["t0"])))
+    if "record" in result:
+        _emit(result["record"])
+        os._exit(0)
+    if "error" in result:
+        _emit({"metric": "tryon_512px_serving_throughput", "value": None,
+               "unit": "images/sec/chip", "vs_baseline": None,
+               "error": result["error"], "stage": _STAGE["name"]})
+        os._exit(0)
+    _emit({"metric": "tryon_512px_serving_throughput", "value": None,
+           "unit": "images/sec/chip", "vs_baseline": None,
+           "error": f"wall-clock budget {BUDGET_S:.0f}s exceeded",
+           "stage": _STAGE["name"]})
+    os._exit(0)

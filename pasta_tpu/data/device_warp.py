@@ -75,14 +75,29 @@ def warp_perspective(img, m_dst_to_src, out_h, out_w):
 def erode(mask, k):
     """k x k window minimum over NHWC; borders treated as +inf (cv2).
 
-    Separable (1xk then kx1): k*2 compares/pixel instead of k^2."""
+    Separable (1xk then kx1): k*2 compares/pixel instead of k^2.
+
+    The trailing mask channel (always 1) is squeezed for the reduction:
+    with it in place XLA lays the array out with C on the sublane dim
+    (T(1,128) — 1/8 of the VPU), measured 18.5 ms per serving batch; over
+    [..., H, W] the tiling is the full T(8,128)."""
     pad = k // 2
-    mask = lax.reduce_window(
-        mask, jnp.inf, lax.min, (1, 1, k, 1), (1, 1, 1, 1),
-        ((0, 0), (0, 0), (pad, k - 1 - pad), (0, 0)))
-    return lax.reduce_window(
-        mask, jnp.inf, lax.min, (1, k, 1, 1), (1, 1, 1, 1),
-        ((0, 0), (pad, k - 1 - pad), (0, 0), (0, 0)))
+    squeeze = mask.shape[-1] == 1
+    x = mask[..., 0] if squeeze else mask
+    nd = x.ndim
+    win = [1] * nd
+    strides = [1] * nd
+    padding = [(0, 0)] * nd
+    w_axis, h_axis = (nd - 1, nd - 2) if squeeze else (nd - 2, nd - 3)
+    win_w, pad_w = list(win), list(padding)
+    win_w[w_axis] = k
+    pad_w[w_axis] = (pad, k - 1 - pad)
+    x = lax.reduce_window(x, jnp.inf, lax.min, win_w, strides, pad_w)
+    win_h, pad_h = list(win), list(padding)
+    win_h[h_axis] = k
+    pad_h[h_axis] = (pad, k - 1 - pad)
+    x = lax.reduce_window(x, jnp.inf, lax.min, win_h, strides, pad_h)
+    return x[..., None] if squeeze else x
 
 
 def warp_perspective_multi(src_stack, src_idx, m_dst_to_src, out_h, out_w):

@@ -33,13 +33,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..losses.gan import g_nonsat_loss, d_logistic_loss
-from ..losses.parsing import weighted_parsing_ce
-from ..losses.vgg import vgg_features, vgg_feature_loss
-from .augment import augment_pipe, AugmentConfig
 from .config import TrainConfig
+from .loss_terms import build_loss_cores
 from .state import TrainState, make_models, make_optimizers
-from .steps import _gt_parsing_onehot
 
 
 def make_decomposed_steps(cfg: TrainConfig, vgg_params=None, mesh=None):
@@ -53,11 +49,10 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None, mesh=None):
     sanitize = (lambda t: jax.tree.map(
         lambda x: jnp.nan_to_num(x, nan=0.0, posinf=1e5, neginf=-1e5), t)
     ) if cfg.sanitize_grads else (lambda t: t)
-    _vgg_dtype = jnp.bfloat16 if cfg.vgg_bf16 else None
-    # Real-image features computed once and shared by the img/finetune
-    # terms (see steps.py _vgg_pair); only the x-branch sits under remat.
-    _vgg_x_base = functools.partial(vgg_feature_loss, dtype=_vgg_dtype)
-    _vgg_x_loss = jax.checkpoint(_vgg_x_base) if cfg.remat else _vgg_x_base
+    # ONE loss definition across step modes (loss_terms.build_loss_cores);
+    # module applies stay un-checkpointed — every decomposed program is
+    # single-model-sized by construction.
+    cores = build_loss_cores(cfg, d, dp, vgg_params, mesh=mesh)
 
     def _g_outputs(g_params, g_buffers, batch, noise_key):
         """G forward returning (img, finetune, parsing, style_code),
@@ -108,50 +103,10 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None, mesh=None):
             lambda x: x.reshape((-1,) + x.shape[2:]), outs)
         return outputs, bufs
 
-    def _g_loss_from_outputs(outputs, d_params, dp_params, ada_p, batch, keys):
-        img, ft, parsing, gen_c = outputs
-
-        def d_in(x, key):
-            if cfg.use_ada:
-                x = augment_pipe(x, ada_p, key, AugmentConfig.bgc(),
-                                 impl=cfg.ada_impl, spmd_mesh=mesh)
-            return jnp.concatenate([x, batch["pose"][..., 0:3]], axis=-1)
-
-        gen_logits = d.apply({"params": d_params}, d_in(img, keys["aug1"]),
-                             gen_c)
-        ft_logits = d.apply({"params": d_params}, d_in(ft, keys["aug2"]),
-                            gen_c)
-        parsing_soft = jax.nn.softmax(parsing, axis=-1)
-        dp_in = jnp.concatenate(
-            [parsing_soft, batch["pose"][..., 0:3]], axis=-1)
-        parsing_logits = dp.apply({"params": dp_params}, dp_in, gen_c)
-
-        loss = (g_nonsat_loss(gen_logits) + g_nonsat_loss(ft_logits)) / 2 \
-            + g_nonsat_loss(parsing_logits)
-        if cfg.l1_weight > 0:
-            loss = loss + (
-                jnp.mean(jnp.abs(img - batch["real_img"]))
-                + jnp.mean(jnp.abs(ft - batch["real_img"]))) / 2 * cfg.l1_weight
-        if cfg.mask_weight > 0:
-            loss = loss + weighted_parsing_ce(
-                parsing, batch["gt_parsing"][..., 0].astype(jnp.int32)
-            ) * cfg.mask_weight
-        if cfg.vgg_weight > 0 and vgg_params is not None:
-            real_feats = [jax.lax.stop_gradient(f) for f in vgg_features(
-                vgg_params, batch["real_img"], dtype=_vgg_dtype)]
-            loss = loss + (
-                _vgg_x_loss(vgg_params, img, real_feats)
-                + _vgg_x_loss(vgg_params, ft, real_feats)
-            ) / 2 * cfg.vgg_weight
-        metrics = dict(g_loss=g_nonsat_loss(gen_logits),
-                       g_loss_finetune=g_nonsat_loss(ft_logits),
-                       fake_scores=jnp.mean(gen_logits))
-        return loss, metrics
-
     @jax.jit
     def g_cotangents(outputs, d_params, dp_params, ada_p, batch, keys):
         (loss, metrics), cots = jax.value_and_grad(
-            _g_loss_from_outputs, has_aux=True)(
+            cores["g"], has_aux=True)(
                 outputs, d_params, dp_params, ada_p, batch, keys)
         return cots, metrics
 
@@ -193,87 +148,25 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None, mesh=None):
         params = optax.apply_updates(state.g_params, updates)
         return state.replace(g_params=params, g_opt=g_opt)
 
-    def _d_loss(d_params, img, ft, gen_c, ada_p, batch, keys, do_r1):
-        def d_in(x, key):
-            n_x = x.shape[0]
-            if cfg.use_ada:
-                x = augment_pipe(x, ada_p, key, AugmentConfig.bgc(),
-                                 impl=cfg.ada_impl, spmd_mesh=mesh)
-            return jnp.concatenate(
-                [x, batch["pose"][:n_x, ..., 0:3]], axis=-1)
-
-        gen_logits = d.apply({"params": d_params}, d_in(img, keys["aug1"]),
-                             gen_c)
-        ft_logits = d.apply({"params": d_params}, d_in(ft, keys["aug2"]),
-                            gen_c)
-        loss = (d_logistic_loss(fake_logits=gen_logits)
-                + d_logistic_loss(fake_logits=ft_logits)) / 2
-
-        def real_logits_of(x):
-            return d.apply({"params": d_params}, d_in(x, keys["aug3"]),
-                           gen_c[:x.shape[0]])
-
-        real_logits = real_logits_of(batch["real_img"])
-        loss_main = loss + d_logistic_loss(real_logits=real_logits)
-        loss = loss_main
-        r1 = 0.0
-        if do_r1:
-            n_r1 = batch["real_img"].shape[0] // cfg.r1_batch_shrink
-            grads = jax.grad(
-                lambda x: jnp.sum(real_logits_of(x)))(
-                    batch["real_img"][:n_r1])
-            r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
-            loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
-        metrics = dict(d_loss=loss_main, real_scores=jnp.mean(real_logits),
-                       real_signs=jnp.mean(jnp.sign(real_logits)),
-                       r1_penalty=r1)
-        return loss, metrics
-
     @functools.partial(jax.jit, static_argnames=("do_r1",),
                        donate_argnums=donate)
     def d_phase(state: TrainState, img, ft, gen_c, batch, keys, do_r1=False):
         (loss, metrics), grads = jax.value_and_grad(
-            _d_loss, has_aux=True)(state.d_params, img, ft, gen_c,
-                                   state.ada_p, batch, keys, do_r1)
+            cores["d"], has_aux=True)(state.d_params, img, ft, gen_c,
+                                      state.ada_p, batch, keys, do_r1)
         grads = sanitize(grads)
         updates, d_opt = d_opt_tx.update(grads, state.d_opt, state.d_params)
         params = optax.apply_updates(state.d_params, updates)
         return state.replace(d_params=params, d_opt=d_opt), metrics
 
-    def _dp_loss(dp_params, parsing, gen_c, batch, do_r1):
-        pose_rgb = batch["pose"][..., 0:3]
-        parsing_soft = jax.nn.softmax(parsing, axis=-1)
-        fake_logits = dp.apply(
-            {"params": dp_params},
-            jnp.concatenate([parsing_soft, pose_rgb], axis=-1), gen_c)
-        loss = d_logistic_loss(fake_logits=fake_logits)
-        gt_onehot = _gt_parsing_onehot(batch["gt_parsing"])
-
-        def real_logits_of(x):
-            n_x = x.shape[0]
-            return dp.apply({"params": dp_params},
-                            jnp.concatenate([x, pose_rgb[:n_x]], axis=-1),
-                            gen_c[:n_x])
-
-        real_logits = real_logits_of(gt_onehot)
-        loss_main = loss + d_logistic_loss(real_logits=real_logits)
-        loss = loss_main
-        r1 = 0.0
-        if do_r1:
-            n_r1 = gt_onehot.shape[0] // cfg.r1_batch_shrink
-            grads = jax.grad(
-                lambda x: jnp.sum(real_logits_of(x)))(gt_onehot[:n_r1])
-            r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
-            loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
-        return loss, dict(dp_loss=loss_main, dp_r1_penalty=r1)
-
     @functools.partial(jax.jit, static_argnames=("do_r1", "fold_post"),
                        donate_argnums=donate)
     def dp_phase(state: TrainState, parsing, gen_c, batch, real_signs=None,
                  do_r1=False, fold_post=False):
+        parsing_soft = jax.nn.softmax(parsing, axis=-1)
         (loss, metrics), grads = jax.value_and_grad(
-            _dp_loss, has_aux=True)(state.dp_params, parsing, gen_c, batch,
-                                    do_r1)
+            cores["dp"], has_aux=True)(state.dp_params, parsing_soft, gen_c,
+                                       batch, do_r1)
         grads = sanitize(grads)
         updates, dp_opt = dp_opt_tx.update(grads, state.dp_opt,
                                            state.dp_params)

@@ -1,0 +1,205 @@
+"""Single source of truth for the G / D / D-parsing loss math.
+
+Parity surface: /root/reference/training/loss_fullbody.py:117-330 (Gmain,
+Dmain, Dr1 and the parsing-discriminator twins).
+
+All three step implementations consume these builders —
+``steps.make_train_step`` (monolithic), ``steps.make_phase_steps``
+(per-phase jits) and ``decomposed.make_decomposed_steps`` (VJP-chained) —
+so the loss definition cannot drift between them (round-3 verdict: phase
+mode silently omitted the contextual term and reported thinner metrics).
+
+The cores operate on generator OUTPUTS ``(img, finetune, parsing_logits,
+gen_c)``; how those outputs are produced (fused forward, chunked scan,
+shared no-grad fakes) and whether module applies are rematerialized stays a
+per-implementation physical choice — pass ``d_apply`` / ``dp_apply`` to
+keep e.g. the monolithic step's ``jax.checkpoint`` wrapping. Remat does not
+change the math.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..losses.gan import g_nonsat_loss, d_logistic_loss
+from ..losses.parsing import weighted_parsing_ce
+from .augment import augment_pipe, AugmentConfig
+
+
+def gt_parsing_onehot(gt_parsing):
+    """7-channel one-hot of the gt parsing map (loss_fullbody.py:300-308)."""
+    idx = gt_parsing[..., 0].astype(jnp.int32)
+    return jax.nn.one_hot(idx, 7, dtype=jnp.float32)
+
+
+def build_loss_cores(cfg, d, dp, vgg_params=None, mesh=None,
+                     d_apply=None, dp_apply=None):
+    """Returns dict(g=g_terms, d=d_terms, dp=dp_terms).
+
+    g_terms(outputs, d_params, dp_params, ada_p, batch, keys)
+        -> (loss, metrics); outputs = (img, finetune, parsing_logits, gen_c),
+        keys needs {"aug1", "aug2"}.
+    d_terms(d_params, img, finetune, gen_c, ada_p, batch, keys, do_r1)
+        -> (loss, metrics); keys needs {"aug1", "aug2", "aug3"}; fakes must
+        already be stop-gradiented by the caller.
+    dp_terms(dp_params, parsing_soft, gen_c, batch, do_r1)
+        -> (loss, metrics); parsing_soft is the softmaxed (and for the fake
+        input stop-gradiented) parsing plane.
+    """
+    d_apply = d_apply or (lambda p, x, c: d.apply({"params": p}, x, c))
+    dp_apply = dp_apply or (lambda p, x, c: dp.apply({"params": p}, x, c))
+
+    _vgg_dtype = jnp.bfloat16 if cfg.vgg_bf16 else None
+    if cfg.vgg_weight > 0 and vgg_params is not None:
+        from ..losses.vgg import vgg_features, vgg_feature_loss
+
+        # The real image's feature pyramid is computed ONCE per loss
+        # evaluation (no grad) and shared by the img and finetune terms;
+        # only the x-branch forward sits under remat (the 512px pyramids
+        # are ~300MB/image otherwise).
+        _vgg_x_base = functools.partial(vgg_feature_loss, dtype=_vgg_dtype)
+        _vgg_x = jax.checkpoint(_vgg_x_base) if cfg.remat else _vgg_x_base
+
+        def _vgg_pair(img, finetune, real):
+            real_feats = [jax.lax.stop_gradient(f)
+                          for f in vgg_features(vgg_params, real,
+                                                dtype=_vgg_dtype)]
+            return (_vgg_x(vgg_params, img, real_feats),
+                    _vgg_x(vgg_params, finetune, real_feats))
+    else:
+        _vgg_pair = None
+
+    def _d_in(img, pose, ada_p, aug_key, augment=True):
+        """ADA-augment the 3ch image, then concat pose rgb (run_D,
+        loss_fullbody.py:100-106)."""
+        if augment and cfg.use_ada:
+            img = augment_pipe(img, ada_p, aug_key, AugmentConfig.bgc(),
+                               impl=cfg.ada_impl, spmd_mesh=mesh)
+        return jnp.concatenate([img, pose[..., 0:3]], axis=-1)
+
+    def g_terms(outputs, d_params, dp_params, ada_p, batch, keys):
+        img, finetune, pred_parsing, gen_c = outputs
+
+        d_in = _d_in(img, batch["pose"], ada_p, keys["aug1"])
+        d_in_ft = _d_in(finetune, batch["pose"], ada_p, keys["aug2"])
+        gen_logits = d_apply(d_params, d_in, gen_c)
+        ft_logits = d_apply(d_params, d_in_ft, gen_c)
+
+        parsing_soft = jax.nn.softmax(pred_parsing, axis=-1)
+        dp_in = jnp.concatenate(
+            [parsing_soft, batch["pose"][..., 0:3]], axis=-1)
+        parsing_logits = dp_apply(dp_params, dp_in, gen_c)
+
+        loss_gmain = g_nonsat_loss(gen_logits)
+        loss_gmain_ft = g_nonsat_loss(ft_logits)
+        loss_g_parsing = g_nonsat_loss(parsing_logits)
+
+        loss_l1 = loss_l1_ft = 0.0
+        if cfg.l1_weight > 0:
+            loss_l1 = jnp.mean(
+                jnp.abs(img - batch["real_img"])) * cfg.l1_weight
+            loss_l1_ft = jnp.mean(
+                jnp.abs(finetune - batch["real_img"])) * cfg.l1_weight
+
+        loss_mask = 0.0
+        if cfg.mask_weight > 0:
+            loss_mask = weighted_parsing_ce(
+                pred_parsing, batch["gt_parsing"][..., 0].astype(jnp.int32)
+            ) * cfg.mask_weight
+
+        loss_vgg = loss_vgg_ft = 0.0
+        if _vgg_pair is not None:
+            loss_vgg, loss_vgg_ft = _vgg_pair(
+                img, finetune, batch["real_img"])
+            loss_vgg = loss_vgg * cfg.vgg_weight
+            loss_vgg_ft = loss_vgg_ft * cfg.vgg_weight
+
+        loss_ctx = 0.0
+        if cfg.contextual_weight > 0 and vgg_params is not None:
+            from ..losses.contextual import contextual_loss
+
+            loss_ctx = contextual_loss(
+                vgg_params, finetune,
+                batch["real_img"]) * cfg.contextual_weight
+
+        loss = (
+            (loss_gmain + loss_gmain_ft) / 2
+            + (loss_l1 + loss_l1_ft) / 2
+            + (loss_vgg + loss_vgg_ft) / 2
+            + loss_mask
+            + loss_g_parsing
+            + loss_ctx
+        )
+        metrics = dict(
+            g_loss=loss_gmain, g_loss_finetune=loss_gmain_ft,
+            g_parsing=loss_g_parsing, g_l1=loss_l1 + loss_l1_ft,
+            g_vgg=loss_vgg + loss_vgg_ft, g_mask=loss_mask,
+            fake_scores=jnp.mean(gen_logits))
+        return loss, metrics
+
+    def d_terms(d_params, img, finetune, gen_c, ada_p, batch, keys, do_r1):
+        d_in = _d_in(img, batch["pose"], ada_p, keys["aug1"])
+        d_in_ft = _d_in(finetune, batch["pose"], ada_p, keys["aug2"])
+        gen_logits = d_apply(d_params, d_in, gen_c)
+        ft_logits = d_apply(d_params, d_in_ft, gen_c)
+        loss_fake = (d_logistic_loss(fake_logits=gen_logits)
+                     + d_logistic_loss(fake_logits=ft_logits)) / 2
+
+        def real_logits_of(real_img):
+            n_x = real_img.shape[0]
+            real_in = _d_in(real_img, batch["pose"][:n_x], ada_p,
+                            keys["aug3"])
+            return d_apply(d_params, real_in, gen_c[:n_x])
+
+        real_logits = real_logits_of(batch["real_img"])
+        loss_real = d_logistic_loss(real_logits=real_logits)
+
+        loss = loss_fake + loss_real
+        r1 = 0.0
+        if do_r1:
+            # r1_batch_shrink: unbiased penalty estimate on a batch prefix
+            # (memory headroom; same estimator in every step mode).
+            n_r1 = batch["real_img"].shape[0] // cfg.r1_batch_shrink
+            grads = jax.grad(
+                lambda x: jnp.sum(real_logits_of(x)))(
+                    batch["real_img"][:n_r1])
+            r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
+            # lazy reg: applied every interval steps with gain=interval
+            loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
+        metrics = dict(
+            d_loss=loss_fake + loss_real,
+            real_scores=jnp.mean(real_logits),
+            real_signs=jnp.mean(jnp.sign(real_logits)),
+            r1_penalty=r1)
+        return loss, metrics
+
+    def dp_terms(dp_params, parsing_soft, gen_c, batch, do_r1):
+        pose_rgb = batch["pose"][..., 0:3]
+        fake_in = jnp.concatenate([parsing_soft, pose_rgb], axis=-1)
+        fake_logits = dp_apply(dp_params, fake_in, gen_c)
+        loss_fake = d_logistic_loss(fake_logits=fake_logits)
+
+        gt_onehot = gt_parsing_onehot(batch["gt_parsing"])
+
+        def real_logits_of(gt_oh):
+            n_x = gt_oh.shape[0]
+            real_in = jnp.concatenate([gt_oh, pose_rgb[:n_x]], axis=-1)
+            return dp_apply(dp_params, real_in, gen_c[:n_x])
+
+        real_logits = real_logits_of(gt_onehot)
+        loss_real = d_logistic_loss(real_logits=real_logits)
+        loss = loss_fake + loss_real
+        r1 = 0.0
+        if do_r1:
+            n_r1 = gt_onehot.shape[0] // cfg.r1_batch_shrink
+            grads = jax.grad(
+                lambda x: jnp.sum(real_logits_of(x)))(gt_onehot[:n_r1])
+            r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
+            loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
+        metrics = dict(dp_loss=loss_fake + loss_real, dp_r1_penalty=r1)
+        return loss, metrics
+
+    return dict(g=g_terms, d=d_terms, dp=dp_terms, d_in=_d_in)

@@ -21,10 +21,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..losses.gan import g_nonsat_loss, d_logistic_loss
-from ..losses.parsing import weighted_parsing_ce
 from .augment import augment_pipe, AugmentConfig
 from .config import TrainConfig
+from .loss_terms import build_loss_cores, gt_parsing_onehot
 from .state import TrainState, make_models, make_optimizers
 
 
@@ -55,19 +54,9 @@ def _run_g(g, g_params, g_buffers, batch, noise_key, update_w_avg=True):
     return img, finetune, pred_parsing, gen_c, mutated["buffers"]
 
 
-def _d_in(img, pose, ada_p, aug_key, cfg, augment=True, mesh=None):
-    """ADA-augment the 3ch image, then concat pose rgb (run_D,
-    loss_fullbody.py:100-106)."""
-    if augment and cfg.use_ada:
-        img = augment_pipe(img, ada_p, aug_key, AugmentConfig.bgc(),
-                           impl=cfg.ada_impl, spmd_mesh=mesh)
-    return jnp.concatenate([img, pose[..., 0:3]], axis=-1)
-
-
-def _gt_parsing_onehot(gt_parsing):
-    """7-channel one-hot of the gt parsing map (loss_fullbody.py:300-308)."""
-    idx = gt_parsing[..., 0].astype(jnp.int32)
-    return jax.nn.one_hot(idx, 7, dtype=jnp.float32)
+# Back-compat alias (loss math lives in loss_terms — the single source of
+# truth shared by all three step implementations).
+_gt_parsing_onehot = gt_parsing_onehot
 
 
 def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
@@ -77,26 +66,12 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
     """
     g, d, dp = make_models(cfg)
     _opt_cache = {}
-    # With cfg.remat, VGG activations are also rematerialized in the
-    # backward (the 512px feature pyramids are ~300MB/image otherwise), and
-    # so are the discriminator forwards (the G phase backprops through D on
-    # three branches — img/finetune/parsing — whose activations would all
-    # be live at once).
-    _vgg_dtype = jnp.bfloat16 if cfg.vgg_bf16 else None
-    # The real image's feature pyramid is computed ONCE per loss evaluation
-    # (outside the checkpointed x-branches, no grad) and shared by the img
-    # and finetune terms; only the x-branch forward sits under remat.
-    from ..losses.vgg import vgg_features, vgg_feature_loss
 
-    _vgg_x_base = functools.partial(vgg_feature_loss, dtype=_vgg_dtype)
-    _vgg_x_loss = jax.checkpoint(_vgg_x_base) if cfg.remat else _vgg_x_base
-
-    def _vgg_pair(vp, img, finetune, real):
-        real_feats = [jax.lax.stop_gradient(f)
-                      for f in vgg_features(vp, real, dtype=_vgg_dtype)]
-        return (_vgg_x_loss(vp, img, real_feats),
-                _vgg_x_loss(vp, finetune, real_feats))
-
+    # With cfg.remat, VGG x-branch activations are rematerialized in the
+    # backward (handled inside build_loss_cores), and so are the
+    # discriminator forwards (the G phase backprops through D on three
+    # branches — img/finetune/parsing — whose activations would all be
+    # live at once).
     def _d_apply(params, x, c):
         return d.apply({"params": params}, x, c)
 
@@ -108,6 +83,9 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
         _d_apply = jax.checkpoint(_d_apply)
         _dp_apply = jax.checkpoint(_dp_apply)
 
+    cores = build_loss_cores(cfg, d, dp, vgg_params, mesh=mesh,
+                             d_apply=_d_apply, dp_apply=_dp_apply)
+
     def _get_opts(d_params):
         if "opts" not in _opt_cache:
             _opt_cache["opts"] = make_optimizers(cfg, d_params)
@@ -116,59 +94,9 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
     def g_loss_fn(g_params, state: TrainState, batch, keys):
         img, finetune, pred_parsing, gen_c, new_buffers = _run_g(
             g, g_params, state.g_buffers, batch, keys["noise"])
-
-        d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg, mesh=mesh)
-        d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg, mesh=mesh)
-        gen_logits = _d_apply(state.d_params, d_in, gen_c)
-        ft_logits = _d_apply(state.d_params, d_in_ft, gen_c)
-
-        parsing_soft = jax.nn.softmax(pred_parsing, axis=-1)
-        dp_in = jnp.concatenate([parsing_soft, batch["pose"][..., 0:3]], axis=-1)
-        parsing_logits = _dp_apply(state.dp_params, dp_in, gen_c)
-
-        loss_gmain = g_nonsat_loss(gen_logits)
-        loss_gmain_ft = g_nonsat_loss(ft_logits)
-        loss_g_parsing = g_nonsat_loss(parsing_logits)
-
-        loss_l1 = loss_l1_ft = 0.0
-        if cfg.l1_weight > 0:
-            loss_l1 = jnp.mean(jnp.abs(img - batch["real_img"])) * cfg.l1_weight
-            loss_l1_ft = jnp.mean(
-                jnp.abs(finetune - batch["real_img"])) * cfg.l1_weight
-
-        loss_mask = 0.0
-        if cfg.mask_weight > 0:
-            loss_mask = weighted_parsing_ce(
-                pred_parsing, batch["gt_parsing"][..., 0].astype(jnp.int32)
-            ) * cfg.mask_weight
-
-        loss_vgg = loss_vgg_ft = 0.0
-        if cfg.vgg_weight > 0 and vgg_params is not None:
-            loss_vgg, loss_vgg_ft = _vgg_pair(
-                vgg_params, img, finetune, batch["real_img"])
-            loss_vgg = loss_vgg * cfg.vgg_weight
-            loss_vgg_ft = loss_vgg_ft * cfg.vgg_weight
-
-        loss_ctx = 0.0
-        if cfg.contextual_weight > 0 and vgg_params is not None:
-            from ..losses.contextual import contextual_loss
-
-            loss_ctx = contextual_loss(
-                vgg_params, finetune, batch["real_img"]) * cfg.contextual_weight
-
-        loss = (
-            (loss_gmain + loss_gmain_ft) / 2
-            + (loss_l1 + loss_l1_ft) / 2
-            + (loss_vgg + loss_vgg_ft) / 2
-            + loss_mask
-            + loss_g_parsing
-            + loss_ctx
-        )
-        metrics = dict(
-            g_loss=loss_gmain, g_loss_finetune=loss_gmain_ft,
-            g_parsing=loss_g_parsing, g_l1=loss_l1 + loss_l1_ft,
-            g_vgg=loss_vgg + loss_vgg_ft, g_mask=loss_mask,
-            fake_scores=jnp.mean(gen_logits))
+        loss, metrics = cores["g"](
+            (img, finetune, pred_parsing, gen_c),
+            state.d_params, state.dp_params, state.ada_p, batch, keys)
         return loss, (new_buffers, metrics)
 
     def d_loss_fn(d_params, g_params, g_buffers, state, batch, keys, do_r1):
@@ -183,41 +111,8 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
                 update_w_avg=False)
             img = jax.lax.stop_gradient(img)
             finetune = jax.lax.stop_gradient(finetune)
-
-        d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg, mesh=mesh)
-        d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg, mesh=mesh)
-        gen_logits = _d_apply(d_params, d_in, gen_c)
-        ft_logits = _d_apply(d_params, d_in_ft, gen_c)
-        loss_fake = (d_logistic_loss(fake_logits=gen_logits)
-                     + d_logistic_loss(fake_logits=ft_logits)) / 2
-
-        def real_logits_of(real_img):
-            n_x = real_img.shape[0]
-            real_in = _d_in(real_img, batch["pose"][:n_x], state.ada_p,
-                            keys["aug3"], cfg, mesh=mesh)
-            return _d_apply(d_params, real_in, gen_c[:n_x])
-
-        real_logits = real_logits_of(batch["real_img"])
-        loss_real = d_logistic_loss(real_logits=real_logits)
-
-        loss = loss_fake + loss_real
-        r1 = 0.0
-        if do_r1:
-            # r1_batch_shrink: unbiased penalty estimate on a batch prefix
-            # (memory headroom; same estimator as decomposed mode).
-            n_r1 = batch["real_img"].shape[0] // cfg.r1_batch_shrink
-            grads = jax.grad(
-                lambda x: jnp.sum(real_logits_of(x)))(
-                    batch["real_img"][:n_r1])
-            r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
-            # lazy reg: applied every interval steps with gain=interval
-            loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
-        metrics = dict(
-            d_loss=loss_fake + loss_real,
-            real_scores=jnp.mean(real_logits),
-            real_signs=jnp.mean(jnp.sign(real_logits)),
-            r1_penalty=r1)
-        return loss, metrics
+        return cores["d"](d_params, img, finetune, gen_c, state.ada_p,
+                          batch, keys, do_r1)
 
     def dp_loss_fn(dp_params, g_params, g_buffers, state, batch, keys, do_r1):
         if "fake_parsing_soft" in batch:
@@ -229,30 +124,7 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
                 update_w_avg=False)
             parsing_soft = jax.lax.stop_gradient(
                 jax.nn.softmax(pred_parsing, axis=-1))
-        pose_rgb = batch["pose"][..., 0:3]
-        fake_in = jnp.concatenate([parsing_soft, pose_rgb], axis=-1)
-        fake_logits = _dp_apply(dp_params, fake_in, gen_c)
-        loss_fake = d_logistic_loss(fake_logits=fake_logits)
-
-        gt_onehot = _gt_parsing_onehot(batch["gt_parsing"])
-
-        def real_logits_of(gt_oh):
-            n_x = gt_oh.shape[0]
-            real_in = jnp.concatenate([gt_oh, pose_rgb[:n_x]], axis=-1)
-            return _dp_apply(dp_params, real_in, gen_c[:n_x])
-
-        real_logits = real_logits_of(gt_onehot)
-        loss_real = d_logistic_loss(real_logits=real_logits)
-        loss = loss_fake + loss_real
-        r1 = 0.0
-        if do_r1:
-            n_r1 = gt_onehot.shape[0] // cfg.r1_batch_shrink
-            grads = jax.grad(
-                lambda x: jnp.sum(real_logits_of(x)))(gt_onehot[:n_r1])
-            r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
-            loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
-        metrics = dict(dp_loss=loss_fake + loss_real, dp_r1_penalty=r1)
-        return loss, metrics
+        return cores["dp"](dp_params, parsing_soft, gen_c, batch, do_r1)
 
     def pl_loss_fn(g_params, state: TrainState, batch, noise_key, pl_key):
         """Path-length regularization (Gpl): penalize the variance of
@@ -530,48 +402,19 @@ def _build_phase_fns(cfg: TrainConfig, vgg_params=None, mesh=None):
         lambda x: jnp.nan_to_num(x, nan=0.0, posinf=1e5, neginf=-1e5), t)
     ) if cfg.sanitize_grads else (lambda t: t)
 
-    # Rebuild the loss closures exactly as make_train_step does by calling
-    # it once and borrowing its loss functions is not possible (they are
-    # locals); the phase bodies below re-invoke the same module applies.
-    from .steps import _run_g, _d_in, _gt_parsing_onehot  # self
-    from ..losses.gan import g_nonsat_loss, d_logistic_loss
-    from ..losses.parsing import weighted_parsing_ce
+    # ONE loss definition across step modes: the same loss_terms cores the
+    # monolithic step uses (round-3 verdict: this path had re-implemented
+    # the closures and silently dropped the contextual term). Module applies
+    # stay un-checkpointed here — phase programs are small by construction,
+    # and remat is a physical choice, not part of the loss math.
+    cores = build_loss_cores(cfg, d, dp, vgg_params, mesh=mesh)
 
     def g_loss_fn(g_params, state, batch, keys):
         img, finetune, pred_parsing, gen_c, new_buffers = _run_g(
             g, g_params, state.g_buffers, batch, keys["noise"])
-        d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg, mesh=mesh)
-        d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg, mesh=mesh)
-        gen_logits = d.apply({"params": state.d_params}, d_in, gen_c)
-        ft_logits = d.apply({"params": state.d_params}, d_in_ft, gen_c)
-        parsing_soft = jax.nn.softmax(pred_parsing, axis=-1)
-        dp_in = jnp.concatenate(
-            [parsing_soft, batch["pose"][..., 0:3]], axis=-1)
-        parsing_logits = dp.apply({"params": state.dp_params}, dp_in, gen_c)
-        loss = (g_nonsat_loss(gen_logits) + g_nonsat_loss(ft_logits)) / 2 \
-            + g_nonsat_loss(parsing_logits)
-        if cfg.l1_weight > 0:
-            loss = loss + (
-                jnp.mean(jnp.abs(img - batch["real_img"]))
-                + jnp.mean(jnp.abs(finetune - batch["real_img"]))
-            ) / 2 * cfg.l1_weight
-        if cfg.mask_weight > 0:
-            loss = loss + weighted_parsing_ce(
-                pred_parsing, batch["gt_parsing"][..., 0].astype(jnp.int32)
-            ) * cfg.mask_weight
-        if cfg.vgg_weight > 0 and vgg_params is not None:
-            from ..losses.vgg import vgg_features, vgg_feature_loss
-            _dt = jnp.bfloat16 if cfg.vgg_bf16 else None
-            _vgg_base = functools.partial(vgg_feature_loss, dtype=_dt)
-            _vgg = jax.checkpoint(_vgg_base) if cfg.remat else _vgg_base
-            real_feats = [jax.lax.stop_gradient(f) for f in vgg_features(
-                vgg_params, batch["real_img"], dtype=_dt)]
-            loss = loss + (
-                _vgg(vgg_params, img, real_feats)
-                + _vgg(vgg_params, finetune, real_feats)
-            ) / 2 * cfg.vgg_weight
-        metrics = dict(g_loss=g_nonsat_loss(gen_logits),
-                       fake_scores=jnp.mean(gen_logits))
+        loss, metrics = cores["g"](
+            (img, finetune, pred_parsing, gen_c),
+            state.d_params, state.dp_params, state.ada_p, batch, keys)
         return loss, (new_buffers, metrics)
 
     def d_loss_fn(d_params, state, batch, keys, do_r1):
@@ -580,30 +423,8 @@ def _build_phase_fns(cfg: TrainConfig, vgg_params=None, mesh=None):
             update_w_avg=False)
         img = jax.lax.stop_gradient(img)
         finetune = jax.lax.stop_gradient(finetune)
-        d_in = _d_in(img, batch["pose"], state.ada_p, keys["aug1"], cfg, mesh=mesh)
-        d_in_ft = _d_in(finetune, batch["pose"], state.ada_p, keys["aug2"], cfg, mesh=mesh)
-        gen_logits = d.apply({"params": d_params}, d_in, gen_c)
-        ft_logits = d.apply({"params": d_params}, d_in_ft, gen_c)
-        loss = (d_logistic_loss(fake_logits=gen_logits)
-                + d_logistic_loss(fake_logits=ft_logits)) / 2
-
-        def real_logits_of(x):
-            real_in = _d_in(x, batch["pose"], state.ada_p, keys["aug3"], cfg, mesh=mesh)
-            return d.apply({"params": d_params}, real_in, gen_c)
-
-        real_logits = real_logits_of(batch["real_img"])
-        loss_main = loss + d_logistic_loss(real_logits=real_logits)
-        loss = loss_main
-        r1 = 0.0
-        if do_r1:
-            grads = jax.grad(
-                lambda x: jnp.sum(real_logits_of(x)))(batch["real_img"])
-            r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
-            loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
-        metrics = dict(d_loss=loss_main, real_scores=jnp.mean(real_logits),
-                       real_signs=jnp.mean(jnp.sign(real_logits)),
-                       r1_penalty=r1)
-        return loss, metrics
+        return cores["d"](d_params, img, finetune, gen_c, state.ada_p,
+                          batch, keys, do_r1)
 
     def dp_loss_fn(dp_params, state, batch, keys, do_r1):
         _, _, pred_parsing, gen_c, _ = _run_g(
@@ -611,26 +432,7 @@ def _build_phase_fns(cfg: TrainConfig, vgg_params=None, mesh=None):
             update_w_avg=False)
         parsing_soft = jax.lax.stop_gradient(
             jax.nn.softmax(pred_parsing, axis=-1))
-        pose_rgb = batch["pose"][..., 0:3]
-        fake_logits = dp.apply(
-            {"params": dp_params},
-            jnp.concatenate([parsing_soft, pose_rgb], axis=-1), gen_c)
-        loss = d_logistic_loss(fake_logits=fake_logits)
-        gt_onehot = _gt_parsing_onehot(batch["gt_parsing"])
-
-        def real_logits_of(x):
-            return dp.apply({"params": dp_params},
-                            jnp.concatenate([x, pose_rgb], axis=-1), gen_c)
-
-        real_logits = real_logits_of(gt_onehot)
-        loss_main = loss + d_logistic_loss(real_logits=real_logits)
-        loss = loss_main
-        r1 = 0.0
-        if do_r1:
-            grads = jax.grad(lambda x: jnp.sum(real_logits_of(x)))(gt_onehot)
-            r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
-            loss = loss + r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
-        return loss, dict(dp_loss=loss_main, dp_r1_penalty=r1)
+        return cores["dp"](dp_params, parsing_soft, gen_c, batch, do_r1)
 
     def g_phase(state, batch, key):
         ks = jax.random.split(key, 3)
