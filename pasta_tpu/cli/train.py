@@ -35,6 +35,11 @@ def parse_args(argv=None):
     p.add_argument("--outdir", required=True)
     p.add_argument("--data", required=True,
                    help="dataset root (image/ keypoints/ parsing/ garment_parsing/)")
+    p.add_argument("--mirror", type=int, default=0,
+                   help="augment dataset with x-flips (reference "
+                        "train.py:44 --mirror)")
+    p.add_argument("--subset", type=int, default=None,
+                   help="train with only N images (reference train.py:43)")
     p.add_argument("--cfg", default="fashion", choices=["fashion", "smoke"])
     p.add_argument("--devices", "--gpus", type=int, default=None, dest="devices")
     p.add_argument("--batch", type=int, default=None)
@@ -251,7 +256,10 @@ def main(argv=None):
 
     dataset = TryonTrainDataset(args.data, seed=args.seed,
                                 resolution=cfg.resolution,
-                                loader_impl=cfg.loader_impl)
+                                loader_impl=cfg.loader_impl,
+                                max_size=args.subset,
+                                xflip=bool(args.mirror),
+                                random_seed=args.seed)
     print(f"dataset: {len(dataset)} images from {args.data}")
     vgg_params = load_vgg_params(args.vgg19)
     if cfg.vgg_weight > 0 and vgg_params is None:

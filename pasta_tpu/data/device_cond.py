@@ -330,3 +330,34 @@ def skin_median_device(image, parsing):
 
     med = (order_stat((n - 1) // 2) + order_stat(n // 2)) / 2.0
     return jnp.where(n > 0, med, 0.0)
+
+
+def flip_pose_params(params, res):
+    """x-flip pose_device_params output on the `res`-wide padded canvas.
+
+    Coordinates mirror; limb/joint identities swap left<->right so the
+    raster colors stay side-correct (dataset --mirror xflip)."""
+    from .pose import OPENPOSE_FLIP
+
+    swap = {i + 1: OPENPOSE_FLIP[i] + 1 for i in range(18)}  # 1-based
+    limb_perm = []
+    index_of = {tuple(p): i for i, p in enumerate(LIMB_SEQ)}
+    for f1, t1 in LIMB_SEQ:
+        limb_perm.append(index_of[(swap[f1], swap[t1])])
+    limb_perm = np.asarray(limb_perm)
+    joint_perm = np.asarray(OPENPOSE_FLIP)
+
+    limb_pts = np.asarray(params["limb_pts"])[limb_perm].copy()
+    limb_valid = np.asarray(params["limb_valid"])[limb_perm].copy()
+    limb_pts[..., 0] = np.where(
+        limb_valid[:, None], res - 1 - limb_pts[..., 0], limb_pts[..., 0])
+    joint_pts = np.asarray(params["joint_pts"])[joint_perm].copy()
+    joint_valid = np.asarray(params["joint_valid"])[joint_perm].copy()
+    joint_pts[..., 0] = np.where(
+        joint_valid, res - 1 - joint_pts[..., 0], joint_pts[..., 0])
+    lo, hi = (int(v) for v in np.asarray(params["pose_xlim"]))
+    return dict(
+        limb_pts=limb_pts, limb_valid=limb_valid,
+        joint_pts=joint_pts, joint_valid=joint_valid,
+        pose_xlim=np.asarray([res - hi, res - lo], np.int32),
+    )

@@ -72,31 +72,78 @@ def warp_perspective(img, m_dst_to_src, out_h, out_w):
     return top * (1 - fy) + bot * fy
 
 
-def erode(mask, k):
+def _shift_fill(x, s, axis, fill):
+    """x translated by s along axis (out[i] = x[i+s]), `fill` outside."""
+    nd = x.ndim
+    pads = [(0, 0, 0)] * nd
+    pads[axis] = (max(0, -s), max(0, s), 0)
+    y = lax.pad(x, jnp.asarray(fill, x.dtype), pads)
+    idx = [slice(None)] * nd
+    idx[axis] = slice(max(0, s), max(0, s) + x.shape[axis])
+    return y[tuple(idx)]
+
+
+def _prefix_window_min(x, size, axis):
+    """min over offsets [0, size-1] along axis, out-of-range = +inf.
+
+    Log-shift doubling: min is idempotent, so overlapping coverage is
+    exact; each shift +inf-fills its border, reproducing reduce_window's
+    init-value padding bit-for-bit."""
+    y = x
+    cover = 1  # offsets [0, cover-1] covered
+    while cover < size:
+        s = min(cover, size - cover)
+        y = jnp.minimum(y, _shift_fill(y, s, axis, jnp.inf))
+        cover += s
+    return y
+
+
+def _axis_window_min(x, k, pad, axis):
+    """Sliding min over window [i-pad, i-pad+k-1] along `axis`, out-of-range
+    treated as +inf (pure elementwise min/pad ops — layout-agnostic).
+
+    +inf-pad first so clipped border windows keep their valid elements
+    (exactly reduce_window's init-value padding), then prefix-min, then
+    slice the original extent back out."""
+    nd = x.ndim
+    pads = [(0, 0, 0)] * nd
+    pads[axis] = (pad, k - 1 - pad, 0)
+    y = lax.pad(x, jnp.asarray(jnp.inf, x.dtype), pads)
+    y = _prefix_window_min(y, k, axis)
+    idx = [slice(None)] * nd
+    idx[axis] = slice(0, x.shape[axis])
+    return y[tuple(idx)]
+
+
+def erode(mask, k, impl="shift"):
     """k x k window minimum over NHWC; borders treated as +inf (cv2).
 
-    Separable (1xk then kx1): k*2 compares/pixel instead of k^2.
+    impl="shift" (default): separable log-shift min composition — pure
+    elementwise minimum + pad ops that fuse into neighbouring fusions in ANY
+    layout. The reduce_window lowering ("reduce_window" impl, the oracle)
+    inherits the warp outputs' hostile layouts in the serving program
+    (lane dim = H, window axis strided) and measured 18.5 ms per batch vs
+    ~0.5 ms for the shift form. Both are exact window minima.
 
-    The trailing mask channel (always 1) is squeezed for the reduction:
-    with it in place XLA lays the array out with C on the sublane dim
-    (T(1,128) — 1/8 of the VPU), measured 18.5 ms per serving batch; over
-    [..., H, W] the tiling is the full T(8,128)."""
+    The trailing mask channel (always 1) is squeezed for the reduction."""
     pad = k // 2
     squeeze = mask.shape[-1] == 1
     x = mask[..., 0] if squeeze else mask
     nd = x.ndim
-    win = [1] * nd
-    strides = [1] * nd
-    padding = [(0, 0)] * nd
     w_axis, h_axis = (nd - 1, nd - 2) if squeeze else (nd - 2, nd - 3)
-    win_w, pad_w = list(win), list(padding)
-    win_w[w_axis] = k
-    pad_w[w_axis] = (pad, k - 1 - pad)
-    x = lax.reduce_window(x, jnp.inf, lax.min, win_w, strides, pad_w)
-    win_h, pad_h = list(win), list(padding)
-    win_h[h_axis] = k
-    pad_h[h_axis] = (pad, k - 1 - pad)
-    x = lax.reduce_window(x, jnp.inf, lax.min, win_h, strides, pad_h)
+    if impl == "shift":
+        x = _axis_window_min(x, k, pad, w_axis)
+        x = _axis_window_min(x, k, pad, h_axis)
+    else:
+        strides = [1] * nd
+        win_w, pad_w = [1] * nd, [(0, 0)] * nd
+        win_w[w_axis] = k
+        pad_w[w_axis] = (pad, k - 1 - pad)
+        x = lax.reduce_window(x, jnp.inf, lax.min, win_w, strides, pad_w)
+        win_h, pad_h = [1] * nd, [(0, 0)] * nd
+        win_h[h_axis] = k
+        pad_h[h_axis] = (pad, k - 1 - pad)
+        x = lax.reduce_window(x, jnp.inf, lax.min, win_h, strides, pad_h)
     return x[..., None] if squeeze else x
 
 
@@ -150,6 +197,13 @@ def warp_perspective_multi(src_stack, src_idx, m_dst_to_src, out_h, out_w):
     return top * (1 - fy) + bot * fy
 
 
+def _mask_thresh(warp_impl):
+    """Warped-mask interior threshold (see the comment at the paste site):
+    254.5 for exact/f32 warps, 252.5 for bf16 one-hot weights whose pair
+    sums carry a 2*2^-8 relative error."""
+    return 252.5 if warp_impl == "matmul_bf16" else 254.5
+
+
 def _warp_multi(impl):
     """Select the multi-part warp backend.
 
@@ -160,8 +214,18 @@ def _warp_multi(impl):
     gather elsewhere."""
     if impl == "auto":
         impl = "matmul" if jax.default_backend() == "tpu" else "gather"
-    if impl == "matmul":
+    if impl in ("matmul", "matmul_bf16"):
+        import functools
+
         from ..ops.projective_warp import warp_perspective_matmul_multi
+
+        if impl == "matmul_bf16":
+            # bf16 one-hot weights: halves the dominant W-matrix traffic;
+            # >40 dB vs f32 weights on image content (same class as the
+            # accepted hat*hat softening).
+            return functools.partial(warp_perspective_matmul_multi,
+                                     w_dtype=jnp.bfloat16,
+                                     precision=lax.Precision.DEFAULT)
         return warp_perspective_matmul_multi
     assert impl == "gather", impl
     return warp_perspective_multi
@@ -258,9 +322,15 @@ def normalize_patches_device(
     d_masks = pasted[..., 3:4]
     # >= 254.5, not == 255: bilinear-warped constants can be 1 ulp off under
     # plain IEEE evaluation and erosion's window-min propagates any deviation.
+    # bf16 one-hot weights widen that interval: the pair weights need not
+    # sum to exactly 1, so interior 255s come back as 255*(1 +/- 2*2^-8)
+    # over the two passes — threshold at 252.5 (covers the error band;
+    # true bilinear edge pixels in (252.5, 254.5) are <1% of the 1px-wide
+    # transition, i.e. a sub-1%-of-a-pixel edge shift).
+    thresh = _mask_thresh(warp_impl)
     d_masks = (
         erode(d_masks.reshape(-1, h, w, 1), erode_k).reshape(d_masks.shape)
-        >= 254.5).astype(jnp.float32)
+        >= thresh).astype(jnp.float32)
     d_masks = d_masks * (cut_valid * paste_valid)[:, :, None, None, None]
 
     # --- sequential composite (order matters: later parts overwrite) -------
@@ -529,7 +599,7 @@ def normalize_patches_device_tiled(
     t_masks = pasted[..., 3:4]
     t_masks = (
         erode(t_masks.reshape(-1, tile, tile, 1), erode_k).reshape(
-            t_masks.shape) >= 254.5).astype(jnp.float32)
+            t_masks.shape) >= _mask_thresh(warp_impl)).astype(jnp.float32)
     t_masks = t_masks * (cut_valid * paste_valid)[:, :, None, None, None]
 
     def composite_one(canvas, tile_img, tile_mask, off_yx):

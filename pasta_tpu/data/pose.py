@@ -225,3 +225,17 @@ def get_palm_mask(keypoints, parsing):
     left = _palm_side(keypoints[[5, 6, 7], :], p2 == 14, img_h, img_w)
     right = _palm_side(keypoints[[2, 3, 4], :], p2 == 15, img_h, img_w)
     return (left | right).astype(np.uint8)[..., None]
+
+
+# OpenPose-18 left/right joint swap (0-based): shoulders/elbows/wrists,
+# hips/knees/ankles, eyes, ears. Used by the dataset --mirror xflip.
+OPENPOSE_FLIP = [0, 1, 5, 6, 7, 2, 3, 4, 11, 12, 13, 8, 9, 10, 15, 14, 17, 16]
+
+
+def flip_keypoints(keypoints, width):
+    """x-flip [18, 3] keypoints on a `width`-wide canvas, swapping L/R
+    joints. Invalid joints (conf < 0.05) keep their coordinates."""
+    kps = np.asarray(keypoints)[OPENPOSE_FLIP].copy()
+    valid = kps[:, 2] >= 0.05
+    kps[valid, 0] = width - 1 - kps[valid, 0]
+    return kps

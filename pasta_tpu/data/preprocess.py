@@ -675,3 +675,50 @@ def preprocess_pair(person: PersonRecord, clothes: PersonRecord, mode: str,
         person_name=person.name,
         clothes_name=clothes.name,
     )
+
+
+def flip_person(record: PersonRecord) -> PersonRecord:
+    """x-flip a loaded PersonRecord (dataset --mirror xflip).
+
+    The reference's base-class xflip bookkeeping (training/dataset.py:77-81)
+    never reaches UvitonDatasetFull_512's sample assembly (its __getitem__
+    reads only _raw_idx), so there is no reference parity surface here —
+    this is an honest mirror: image/parsing/garment-parsing planes flip,
+    CIHP left/right labels swap (flip_cihp), OpenPose joints swap sides and
+    the pose raster re-derives from the flipped keypoints."""
+    from .cihp import flip_cihp
+    from .pose import draw_pose, flip_keypoints
+
+    res = record.image.shape[0]
+    keypoints = flip_keypoints(record.keypoints, res)
+
+    parsing = flip_cihp(record.parsing[..., 0])[..., None]
+    garment_parsing = None
+    if record.garment_parsing is not None:
+        gp = np.asarray(record.garment_parsing)[:, ::-1].copy()
+        # sleeve labels 10/11 are a left/right pair
+        swapped = gp.copy()
+        swapped[gp == 10] = 11
+        swapped[gp == 11] = 10
+        garment_parsing = swapped
+
+    pose_img = None
+    pose_params = None
+    if record.pose_params is not None:
+        from .device_cond import flip_pose_params
+
+        pose_params = flip_pose_params(record.pose_params, res)
+    else:
+        # keypoints are already in padded square coords; re-raster on the
+        # square canvas (pad region stays black like the padded raster)
+        pose_img, _ = draw_pose(keypoints.copy(), img_size=(res, res))
+
+    return PersonRecord(
+        name=record.name + "_xflip",
+        image=record.image[:, ::-1].copy(),
+        pose_img=pose_img,
+        keypoints=keypoints,
+        parsing=parsing,
+        garment_parsing=garment_parsing,
+        pose_params=pose_params,
+    )

@@ -187,7 +187,9 @@ class TryonTrainDataset:
     def __init__(self, root: str, image_names=None, seed: int = 0,
                  use_sleeve_mask: bool = True,
                  occlusion_mask_dir: Optional[str] = None,
-                 resolution: int = RES, loader_impl: str = "host"):
+                 resolution: int = RES, loader_impl: str = "host",
+                 max_size: Optional[int] = None, xflip: bool = False,
+                 random_seed: int = 0):
         from .roots import as_root
 
         assert loader_impl in ("host", "device")
@@ -206,15 +208,38 @@ class TryonTrainDataset:
             sorted(os.listdir(occlusion_mask_dir))
             if occlusion_mask_dir and os.path.isdir(occlusion_mask_dir)
             else None)
+        # max_size subsetting + xflip doubling: exact reference bookkeeping
+        # (training/dataset.py:71-81, train.py:241-251 --mirror). Unlike the
+        # reference — whose try-on __getitem__ never consults _xflip — the
+        # flipped half is honestly mirrored (preprocess.flip_person).
+        self._raw_idx = np.arange(len(self.image_names), dtype=np.int64)
+        if max_size is not None and self._raw_idx.size > max_size:
+            np.random.RandomState(random_seed).shuffle(self._raw_idx)
+            self._raw_idx = np.sort(self._raw_idx[:max_size])
+        self._xflip = np.zeros(self._raw_idx.size, dtype=np.uint8)
+        if xflip:
+            self._raw_idx = np.tile(self._raw_idx, 2)
+            self._xflip = np.concatenate([self._xflip,
+                                          np.ones_like(self._xflip)])
 
     def __len__(self):
-        return len(self.image_names)
+        return self._raw_idx.size
+
+    def _load(self, idx, pose_raster="host"):
+        from .preprocess import flip_person
+
+        person = load_person(self.root,
+                             self.image_names[self._raw_idx[idx]],
+                             with_garment_parsing=self.use_sleeve_mask,
+                             pose_raster=pose_raster)
+        if self._xflip[idx]:
+            person = flip_person(person)
+        return person
 
     def __getitem__(self, idx):
         # always the host path: the evaluator/grid consumers build
         # host-assembled inputs; the device loader uses lean_item
-        person = load_person(self.root, self.image_names[idx],
-                             with_garment_parsing=self.use_sleeve_mask)
+        person = self._load(idx)
         item = preprocess_person_train(
             person, self.rng, self.occlusion_mask_dir, self.occlusion_files)
         if self.resolution != RES:
@@ -223,9 +248,7 @@ class TryonTrainDataset:
 
     def lean_item(self, idx):
         """Host half only; assemble_train_batch_lean finishes on device."""
-        person = load_person(self.root, self.image_names[idx],
-                             with_garment_parsing=self.use_sleeve_mask,
-                             pose_raster="device")
+        person = self._load(idx, pose_raster="device")
         return preprocess_person_train_lean(
             person, self.rng, self.occlusion_mask_dir, self.occlusion_files)
 

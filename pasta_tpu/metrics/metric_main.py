@@ -172,6 +172,44 @@ def inception_score(runner, real_dir, gen_dir, max_items=None,
 
 
 @register_metric
+def ppl(runner, real_dir, gen_dir, max_items=None, cache_dir=None, crop=None,
+        ppl_ctx=None, epsilon=1e-4, interp="lerp", seed=0):
+    """Try-on conditional perceptual path length.
+
+    Reference analogue: ppl2_wend (metrics/metric_main.py:96-111,
+    perceptual_path_length.py:23-130 — stale for this model family; see
+    metrics/ppl.py). Needs `ppl_ctx` from ppl.build_tryon_ppl_ctx (the
+    model + condition endpoints) plus a feature extractor: `runner` may be
+    a VGG16 DetectorRunner (LPIPS space when its params carry lin weights)
+    or an inception runner; real_dir/gen_dir are unused."""
+    assert ppl_ctx is not None, (
+        "ppl needs ppl_ctx=build_tryon_ppl_ctx(...) — from the CLI pass "
+        "--network/--dataroot/--testtxt (cli/calc_metrics.py)")
+    import jax
+
+    from .ppl import compute_ppl
+
+    if "feature_fn" in ppl_ctx:
+        feature_fn = ppl_ctx["feature_fn"]
+    elif runner.kind == "vgg16":
+        from .ppl import make_lpips_feature_fn
+
+        feature_fn = make_lpips_feature_fn(runner.params)
+    else:
+        def feature_fn(images_pm1):
+            # preprocess_images rescales from [0, 255] (any float dtype)
+            arr = preprocess_images((images_pm1 + 1.0) * 127.5)
+            return inception_features(runner.params, arr)
+
+    value = compute_ppl(
+        ppl_ctx["synth_from_code"], feature_fn,
+        ppl_ctx["codes_a"][:max_items] if max_items else ppl_ctx["codes_a"],
+        ppl_ctx["codes_b"][:max_items] if max_items else ppl_ctx["codes_b"],
+        jax.random.PRNGKey(seed), epsilon=epsilon, interp=interp, crop=crop)
+    return {"ppl": value}
+
+
+@register_metric
 def pr(runner, real_dir, gen_dir, max_items=None, cache_dir=None, crop=None):
     real = runner.folder_stats(real_dir, capture_all=True,
                                capture_mean_cov=False, max_items=max_items,
@@ -188,12 +226,14 @@ def calc_metric(metric, runner, real_dir, gen_dir, run_dir=None, **kwargs):
     (metric_main.py:67-77)."""
     assert is_valid_metric(metric), f"unknown metric {metric}"
     # fail fast on empty/missing folders before any feature extraction
-    for d in (real_dir, gen_dir):
-        if not os.path.isdir(d):
-            raise ValueError(f"not a directory: {d}")
-        if not any(f.lower().endswith((".png", ".jpg", ".jpeg"))
-                   for f in os.listdir(d)):
-            raise ValueError(f"no images found in {d}")
+    # (ppl synthesizes its own images — no folders involved)
+    if metric != "ppl":
+        for d in (real_dir, gen_dir):
+            if not os.path.isdir(d):
+                raise ValueError(f"not a directory: {d}")
+            if not any(f.lower().endswith((".png", ".jpg", ".jpeg"))
+                       for f in os.listdir(d)):
+                raise ValueError(f"no images found in {d}")
     t0 = time.time()
     results = _metric_registry[metric](runner, real_dir, gen_dir, **kwargs)
     record = dict(

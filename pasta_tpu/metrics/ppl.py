@@ -83,6 +83,78 @@ def compute_ppl(
     d = jnp.sum(jnp.square(f0 - f1), axis=-1) / (epsilon ** 2)
     d = np.asarray(d)
     # reference filters outliers beyond the 1st/99th percentile implicitly
-    # via median-of-means; use the standard PPL trimmed mean
+    # via median-of-means; use the standard PPL trimmed mean. With small n
+    # the interpolated percentiles can exclude every sample (n=2: the 1st
+    # percentile already sits above the min) — fall back to the plain mean.
     lo, hi = np.percentile(d, [1, 99])
-    return float(d[(d >= lo) & (d <= hi)].mean())
+    kept = d[(d >= lo) & (d <= hi)]
+    return float(kept.mean() if kept.size else d.mean())
+
+
+def build_tryon_ppl_ctx(model, variables, dataroot, pairs, part="upper",
+                        use_sleeve_mask=True):
+    """Conditional-PPL context for the registered `ppl` metric.
+
+    Reference analogue: ppl2_wend (metrics/metric_main.py:96-111) sampled
+    two w endpoints from random z's; this model family has z_dim=0, so the
+    endpoints are the style codes of two garment CONDITIONS on the same
+    person — codes_a = (person, their own garment), codes_b = (person,
+    the target garment from the pair file). The synthesis path is fixed to
+    the target condition's assembled inputs; only the style code moves.
+
+    Returns dict(synth_from_code, codes_a, codes_b) for compute_ppl.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import preprocess as pp
+    from ..serving import (host_prepare, ingest_device,
+                           assemble_inputs_device)
+
+    items_a, items_b = [], []
+    for clothes_name, person_name in pairs:
+        person = pp.load_person(dataroot, person_name)
+        clothes = pp.load_person(dataroot, clothes_name,
+                                 with_garment_parsing=True)
+        own = pp.load_person(dataroot, person_name,
+                             with_garment_parsing=True)
+        items_a.append(host_prepare(person, own, part, use_sleeve_mask))
+        items_b.append(host_prepare(person, clothes, part, use_sleeve_mask))
+
+    def to_inputs(items):
+        batch = {k: jnp.asarray(np.stack([it[k] for it in items]))
+                 for k in items[0] if k not in ("tiles_fit", "cut_fits")}
+        return assemble_inputs_device(ingest_device(batch), part,
+                                      warp_impl="gather")
+
+    inputs_a = to_inputs(items_a)
+    inputs_b = to_inputs(items_b)
+
+    @jax.jit
+    def code_of(inputs):
+        def run(m, c, retain):
+            return m.encode_style(c, retain)[0]
+
+        return model.apply(variables, inputs["c"], inputs["retain"],
+                           method=run)
+
+    @jax.jit
+    def synth_from_code(code):
+        def run(m, code_):
+            ws = m.mapping(jnp.zeros((code_.shape[0], 0)), code_)
+            pose_feat = m.encode_pose(inputs_b["pose"])
+            _, feats = m.encode_style(inputs_b["c"], inputs_b["retain"])
+            cat_feats = {str(f.shape[1]): f for f in feats}
+            _, finetune, _ = m.synthesis(
+                ws, pose_feat, cat_feats,
+                inputs_b["denorm_upper_input"],
+                inputs_b["denorm_lower_input"],
+                inputs_b["denorm_upper_mask"],
+                inputs_b["denorm_lower_mask"], None, noise_mode="const")
+            return finetune
+
+        return model.apply(variables, code, method=run)
+
+    return dict(synth_from_code=synth_from_code,
+                codes_a=code_of(inputs_a), codes_b=code_of(inputs_b))

@@ -134,6 +134,11 @@ class Discriminator(nn.Module):
 
     @nn.compact
     def __call__(self, img, c):
+        from ..shapes import assert_shape
+
+        # Trace-time input contract (reference misc.assert_shape style)
+        assert_shape(img, (None, self.img_resolution, self.img_resolution,
+                           self.img_channels), name="img")
         res_log2 = int(math.log2(self.img_resolution))
         block_resolutions = [2 ** i for i in range(res_log2, 2, -1)]
         channels = {

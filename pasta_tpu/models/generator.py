@@ -353,6 +353,22 @@ class Generator(nn.Module):
             denorm_{upper,lower}_input: [N, 512, 512, 3] pasted garments.
             denorm_{upper,lower}_mask:  [N, 512, 512, 1].
         """
+        from ..shapes import assert_shape
+
+        n, res = c.shape[0], self.img_resolution
+        # Trace-time input contracts (reference misc.assert_shape usage in
+        # networks.py forward paths): catch NHWC mix-ups at the boundary.
+        assert_shape(c, (n, res // 4, res // 4, 45), name="c")
+        assert_shape(retain, (n, res, res, 6), name="retain")
+        assert_shape(pose, (n, res, res, 5), name="pose")
+        for nm, t in (("denorm_upper_input", denorm_upper_input),
+                      ("denorm_lower_input", denorm_lower_input)):
+            assert_shape(t, (n, res, res, 3), name=nm)
+        for nm, t in (("denorm_upper_mask", denorm_upper_mask),
+                      ("denorm_lower_mask", denorm_lower_mask)):
+            assert_shape(t, (n, res, res, 1), name=nm)
+        if gt_parsing is not None:
+            assert_shape(gt_parsing, (n, res, res, 1), name="gt_parsing")
         pose_feat = self.encode_pose(pose)
         stylecode, feats = self.encode_style(c, retain)
         ws = self.mapping(

@@ -309,6 +309,22 @@ def assemble_inputs_device(host: Dict[str, jnp.ndarray], mode: str,
         host[k] = host[k].astype(jnp.float32)
     if "label" not in host:
         host["label"] = host["label_cls"].astype(jnp.float32) * 127.5
+
+    from .shapes import assert_batch_shapes
+
+    res = host["image"].shape[1]
+    # Trace-time input contracts (reference misc.assert_shape style): a
+    # transposed or mis-stacked host array fails here by name instead of
+    # deep inside the warp program.
+    assert_batch_shapes(host, {
+        "image": (None, res, res, 3), "pose": (None, res, res, 3),
+        "upper_img": (None, res, res, 3), "lower_img": (None, res, res, 3),
+        "upper_mask": (None, res, res, 1), "lower_mask": (None, res, res, 1),
+        "sleeve": (None, res, res, 1),
+        "retain_mask": (None, res, res, 1), "bound": (None, res, res, 1),
+        "upper_cut_m": (None, None, 3, 3), "lower_cut_m": (None, None, 3, 3),
+        "paste_m_inv": (None, None, 3, 3), "skin_color": (None, 3),
+    }, name="host")
     erode_k = 8 if mode == "upper" else 5
     if tiled:
         cut_kw = {}

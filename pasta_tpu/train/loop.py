@@ -89,18 +89,43 @@ class ParallelLoader:
                    else batch_to_raw_inputs(items))
 
 
-def save_image_grid(images, path, drange=(-1, 1), grid_cols=None):
-    """[N, H, W, 3] -> one PNG grid (training_loop_fullbody.py:313-340)."""
+def save_image_grid(images, path, drange=(-1, 1), grid_cols=None,
+                    side_images=None, top_images=None, border=4):
+    """[N, H, W, 3] -> one PNG grid (training_loop_fullbody.py:313-340).
+
+    side_images ([rows, H, W, 3]) / top_images ([cols, H, W, 3]) prepend the
+    source person column / source garment row with a `border`-px white
+    gutter — the reference's image_side/image_top bordered snapshot layout.
+    Sources share `drange` with the cells."""
     n, h, w, _ = images.shape
     cols = grid_cols or int(np.ceil(np.sqrt(n)))
     rows = int(np.ceil(n / cols))
     lo, hi = drange
-    img = (np.asarray(images, np.float32) - lo) * 255 / (hi - lo)
-    img = np.clip(img, 0, 255).astype(np.uint8)
+
+    def to_u8(x):
+        x = (np.asarray(x, np.float32) - lo) * 255 / (hi - lo)
+        return np.clip(x, 0, 255).astype(np.uint8)
+
+    img = to_u8(images)
     grid = np.zeros((rows * h, cols * w, 3), np.uint8)
     for i in range(n):
         r, c = divmod(i, cols)
         grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = img[i]
+    if side_images is not None:
+        side = to_u8(side_images)
+        col = np.zeros((rows * h, w, 3), np.uint8)
+        for r in range(min(rows, len(side))):
+            col[r * h:(r + 1) * h] = side[r]
+        gutter = np.full((rows * h, border, 3), 255, np.uint8)
+        grid = np.concatenate([col, gutter, grid], axis=1)
+    if top_images is not None:
+        top = to_u8(top_images)
+        lead = (w + border) if side_images is not None else 0
+        row = np.full((h, lead + cols * w, 3), 255, np.uint8)
+        for c in range(min(cols, len(top))):
+            row[:, lead + c * w:lead + (c + 1) * w] = top[c]
+        gutter = np.full((border, row.shape[1], 3), 255, np.uint8)
+        grid = np.concatenate([row, gutter, grid], axis=0)
     PIL.Image.fromarray(grid).save(path)
 
 
@@ -527,8 +552,23 @@ def save_cross_pair_grid(cfg, state, dataset_root, run_dir, step, k=4,
 
     fakes = jax.device_get(
         fwd(state.g_ema_params, state.g_ema_buffers, inputs))
+
+    def _src(p):
+        img = p.image.astype(np.float32) / 127.5 - 1.0
+        if img.shape[0] != cfg.resolution:
+            import cv2
+
+            img = cv2.resize(img, (cfg.resolution, cfg.resolution),
+                             interpolation=cv2.INTER_AREA)
+        return img
+
+    sources = np.stack([_src(p) for p in people])
+    # source-bordered layout (setup_snapshot_image_grid image_side /
+    # image_top, training_loop_fullbody.py:214-340): left column = target
+    # persons (rows), top row = garment sources (columns)
     save_image_grid(fakes, os.path.join(run_dir, f"tryon_grid{step:06d}.png"),
-                    grid_cols=k)
+                    grid_cols=len(people), side_images=sources,
+                    top_images=sources)
 
 
 def _save_snapshot(cfg, state, batch, run_dir, step):
@@ -561,14 +601,28 @@ def _save_snapshot(cfg, state, batch, run_dir, step):
             denorm_upper_mask=sub["denorm_upper_mask"],
             denorm_lower_mask=sub["denorm_lower_mask"],
             noise_mode="const")
-        return finetune
+        return finetune, jnp.argmax(parsing, axis=-1)
 
-    fakes = jax.device_get(
-        ema_forward(state.g_ema_params, state.g_ema_buffers, sub))
+    fakes, parsing_idx = (jax.device_get(t) for t in ema_forward(
+        state.g_ema_params, state.g_ema_buffers, sub))
     reals = jax.device_get(sub["real_img"])
     save_image_grid(
         np.concatenate([reals, fakes], axis=0),
         os.path.join(run_dir, f"fakes{step:06d}.png"), grid_cols=n_vis)
+    # Predicted-parsing snapshot grids (training_loop_fullbody.py:709-719
+    # fakes*_parsing.png): the reference's grayscale index/6 encoding, plus
+    # a CIHP-colormapped twin (util_functions.py parsing2im semantics).
+    from ..data.cihp import parsing2im
+
+    gray = (parsing_idx.astype(np.float32) / 6.0 * 2.0 - 1.0)[..., None]
+    save_image_grid(
+        np.repeat(gray, 3, axis=-1),
+        os.path.join(run_dir, f"fakes{step:06d}_parsing.png"),
+        grid_cols=n_vis)
+    color = np.stack([parsing2im(p) for p in parsing_idx])
+    save_image_grid(
+        color, os.path.join(run_dir, f"fakes{step:06d}_parsing_color.png"),
+        drange=(0, 255), grid_cols=n_vis)
     ckpt_dir = os.path.join(run_dir, f"ckpt-{step:06d}")
     save_checkpoint_variables(ckpt_dir, jax.device_get(state))
     print(f"snapshot: fakes{step:06d}.png + {ckpt_dir}", flush=True)

@@ -118,9 +118,11 @@ class TestDevicePipelineParity:
 @needs_fixtures
 @pytest.mark.slow
 class TestMatmulWarpImpl:
-    def test_normalize_matmul_vs_gather(self):
-        """warp_impl='matmul' must reproduce the gather pipeline on real
-        fixture geometry (softened kernel: compare at image tolerance)."""
+    @pytest.mark.parametrize("impl", ["matmul", "matmul_bf16"])
+    def test_normalize_matmul_vs_gather(self, impl):
+        """warp_impl='matmul' (and its bf16-weight variant) must reproduce
+        the gather pipeline on real fixture geometry (softened kernel:
+        compare at image tolerance)."""
         person = pp.load_person(FIXTURES, sorted(os.listdir(
             os.path.join(FIXTURES, "image")))[0])
         clothes = pp.load_person(FIXTURES, sorted(os.listdir(
@@ -142,10 +144,31 @@ class TestMatmulWarpImpl:
         ref = normalize_patches_device(*args, *mats, erode_k=5,
                                        warp_impl="gather")
         got = normalize_patches_device(*args, *mats, erode_k=5,
-                                       warp_impl="matmul")
+                                       warp_impl=impl)
+        # bf16 one-hot weights quantize the bilinear fractions (~1
+        # intensity step at 255 scale), moving a slightly wider band of
+        # erode-threshold edge pixels — budget 3% vs 2% for f32 weights.
+        budget = 0.03 if impl == "matmul_bf16" else 0.02
         for key in ("norm_img", "norm_img_lower", "denorm_upper_img",
                     "denorm_lower_img"):
             a, b = np.asarray(ref[key]), np.asarray(got[key])
             # softened kernel: most pixels match tightly, edges may differ
             frac = np.mean(np.abs(a - b) > 4.0)
-            assert frac < 0.02, f"{key}: {frac:.4f}"
+            assert frac < budget, f"{key}: {frac:.4f}"
+
+
+def test_erode_shift_impl_matches_reduce_window():
+    """The layout-agnostic log-shift erosion is an EXACT window minimum
+    (same +inf border semantics as the reduce_window oracle)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pasta_tpu.data.device_warp import erode
+
+    rng = np.random.RandomState(7)
+    for shape in [(3, 17, 23, 1), (2, 5, 32, 32, 1), (4, 33, 9, 3)]:
+        for k in (2, 3, 5, 8, 17):
+            x = jnp.asarray(rng.rand(*shape).astype(np.float32) * 255)
+            a = erode(x, k, impl="shift")
+            b = erode(x, k, impl="reduce_window")
+            assert float(jnp.max(jnp.abs(a - b))) == 0.0, (shape, k)

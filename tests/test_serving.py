@@ -35,7 +35,6 @@ def test_device_inputs_match_host(mode):
         lambda b: assemble_inputs_device(b, mode))(batch)
 
     for key, tol in [
-        ("pose", 0.02),               # bound rows may shift by ~1px
         ("retain", 1e-4),
         ("denorm_upper_input", None),
         ("denorm_lower_input", None),
@@ -53,6 +52,27 @@ def test_device_inputs_match_host(mode):
             # warped channels: uint8-rounding + mask-edge differences only
             frac = np.mean(np.abs(a - b) > 0.02)
             assert frac < 0.03, f"{key}: frac mismatch {frac:.4f}"
+
+    # pose input = [stick figure rgb | label | bound], checked structurally
+    # instead of a flat 2% pixel budget (round-3 verdict weak #6):
+    a = np.asarray(dev_inputs["pose"])[0]
+    b = np.asarray(host_inputs["pose"])[0]
+    # raster + label planes: exact (host raster feeds both paths here)
+    np.testing.assert_allclose(a[..., 0:4], b[..., 0:4], atol=1e-4)
+
+    def bound_row(plane):
+        rows = np.where((plane > 0).any(axis=1))[0]
+        return int(rows[0]) if rows.size else plane.shape[0]
+
+    # bound plane: a row-threshold mask — compare the actual start row
+    # (warp edge softening moves the device-derived garment bottom ≤1 row)
+    row_a, row_b = bound_row(a[..., 4] + 1), bound_row(b[..., 4] + 1)
+    assert abs(row_a - row_b) <= 1, (row_a, row_b)
+    # and outside that one boundary row the planes are identical
+    lo = min(row_a, row_b) + 1
+    np.testing.assert_allclose(a[lo:, :, 4], b[lo:, :, 4], atol=1e-5)
+    hi = max(0, min(row_a, row_b) - 1)
+    np.testing.assert_allclose(a[:hi, :, 4], b[:hi, :, 4], atol=1e-5)
 
 
 @needs_fixtures
@@ -118,8 +138,14 @@ def test_sharded_assemble_matches_single():
 
 @needs_fixtures
 @pytest.mark.slow
-def test_pipeline_mesh_matches_single():
-    """Full TryonPipeline over a 2-device mesh == single device."""
+@pytest.mark.parametrize("paths", ["auto", "plain"])
+def test_pipeline_mesh_matches_single(paths):
+    """Full TryonPipeline over a 2-device mesh == single device.
+
+    batch (4) > mesh (2), parametrized over the warp fast paths: 'auto'
+    exercises the tiled(+windowed-cut when the quads fit) programs, 'plain'
+    forces the full-canvas paste / full-res cut path (round-3 verdict
+    next-#10)."""
     from jax.sharding import Mesh
 
     from pasta_tpu.models import Generator
@@ -128,11 +154,17 @@ def test_pipeline_mesh_matches_single():
     ds = TryonPairDataset(FIXTURES, "test_pairs.txt", mode="upper")
     model = Generator()
     items = []
-    for clothes_name, person_name in ds.pairs[:2]:
+    for clothes_name, person_name in ds.pairs[:4]:
         person = pp.load_person(FIXTURES, person_name)
         clothes = pp.load_person(FIXTURES, clothes_name,
                                  with_garment_parsing=True)
         items.append(host_prepare(person, clothes, "upper"))
+    if paths == "plain":
+        for it in items:
+            it["tiles_fit"] = np.asarray(False)
+            it["cut_fits"] = np.asarray(False)
+    else:
+        assert all(bool(it["tiles_fit"]) for it in items)
     batch = {k: jnp.asarray(np.stack([it[k] for it in items]))
              for k in items[0] if k not in ("tiles_fit", "cut_fits")}
     variables = jax.jit(model.init)(

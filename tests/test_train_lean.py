@@ -193,3 +193,33 @@ def test_lean_matches_host_erasure_branch_b():
     # and a row below the strip is NOT fully erased
     if by < 128:
         assert np.any(host_out["style_input"][:, by:, :, 30:33] > -1.0)
+
+
+@needs_fixtures
+def test_mirror_and_max_size_bookkeeping():
+    """--mirror xflip doubling + max_size subsetting (reference
+    training/dataset.py:71-81 bookkeeping; flips honestly mirrored here)."""
+    names = _names(3)
+    base = TryonTrainDataset(FIXTURES, image_names=names)
+    assert len(base) == 3
+
+    sub = TryonTrainDataset(FIXTURES, image_names=names, max_size=2)
+    assert len(sub) == 2
+    assert sorted(sub._raw_idx.tolist()) == sub._raw_idx.tolist()
+
+    mir = TryonTrainDataset(FIXTURES, image_names=names, xflip=True)
+    assert len(mir) == 6
+    # first half unflipped, second half flipped
+    item = mir[0]
+    item_f = mir[3]
+    np.testing.assert_array_equal(
+        np.asarray(item["image"])[:, ::-1], np.asarray(item_f["image"]))
+    # pose raster re-derives from swapped keypoints: same number of drawn
+    # pixels on both sides (limb colors swap, geometry mirrors)
+    assert (np.asarray(item_f["pose"]) > -1).sum() > 0
+
+    # lean path flips too (device loader)
+    lean = mir.lean_item(3)
+    np.testing.assert_array_equal(
+        np.asarray(mir.lean_item(0)["image"])[:, ::-1],
+        np.asarray(lean["image"]))

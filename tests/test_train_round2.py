@@ -120,6 +120,16 @@ class TestTrainingLoopRound2:
             assert "tick step" in f.read()
         grids = [f for f in os.listdir(run_dir) if f.startswith("tryon_grid")]
         assert grids, os.listdir(run_dir)
+        # parsing snapshot grids (reference fakes*_parsing.png analogue)
+        names = os.listdir(run_dir)
+        assert any(f.endswith("_parsing.png") for f in names), names
+        assert any(f.endswith("_parsing_color.png") for f in names), names
+        # bordered cross-pair grid: sources column+row around a k x k grid
+        import PIL.Image
+
+        g = np.asarray(PIL.Image.open(os.path.join(run_dir, grids[0])))
+        res = cfg.resolution
+        assert g.shape[0] > 3 * res and g.shape[1] > 3 * res, g.shape
 
 
 class TestPrecisionAndRemat:
