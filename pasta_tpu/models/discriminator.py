@@ -17,6 +17,7 @@ from __future__ import annotations
 import math
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -166,16 +167,21 @@ class Discriminator(nn.Module):
                 use_bf16=(self.num_bf16_res > 0 and res >= bf16_resolution),
                 name=f"b{res}",
             )
-            x, img = block(x, img)
+            # Profiler scope per block (reference record_function taxonomy)
+            with jax.named_scope(f"D_b{res}"):
+                x, img = block(x, img)
 
         cmap = None
         if self.c_dim > 0:
-            cmap = MappingNetwork(
-                z_dim=0, c_dim=self.c_dim, w_dim=cmap_dim, num_ws=None,
-                w_avg_beta=None, name="mapping")(None, c)
-        x = DiscriminatorEpilogue(
-            channels[4], cmap_dim=cmap_dim, resolution=4,
-            img_channels=self.img_channels, architecture=self.architecture,
-            conv_clamp=self.conv_clamp,
-            mbstd_group_size=self.mbstd_group_size, name="b4")(x, img, cmap)
+            with jax.named_scope("D_mapping"):
+                cmap = MappingNetwork(
+                    z_dim=0, c_dim=self.c_dim, w_dim=cmap_dim, num_ws=None,
+                    w_avg_beta=None, name="mapping")(None, c)
+        with jax.named_scope("D_b4"):
+            x = DiscriminatorEpilogue(
+                channels[4], cmap_dim=cmap_dim, resolution=4,
+                img_channels=self.img_channels,
+                architecture=self.architecture, conv_clamp=self.conv_clamp,
+                mbstd_group_size=self.mbstd_group_size, name="b4")(
+                    x, img, cmap)
         return x

@@ -197,8 +197,9 @@ class SynthesisNetwork(nn.Module):
                 x = x.astype(_blk_dtype(res))
             # noise_mode positionally: nn.remat static_argnums indexes
             # positional args only (self=0).
-            x, img, pp = block(x, img, cur_ws, pose_feat,
-                               cat_cast.get(res), noise_mode)
+            with jax.named_scope(f"style_b{res}"):
+                x, img, pp = block(x, img, cur_ws, pose_feat,
+                                   cat_cast.get(res), noise_mode)
             if pp is not None:
                 pred_parsing = pp
             if res == resolutions[-2]:
@@ -233,8 +234,9 @@ class SynthesisNetwork(nn.Module):
         lo_in, lo_valid, lo_res = self._spade_prepare(
             jax.lax.stop_gradient(lower_mask),
             denorm_lower_mask, denorm_lower_input)
-        feat2 = spade_encode(
-            jnp.concatenate([up_in, lo_in], axis=0).astype(enc_dtype))
+        with jax.named_scope("spade_encoder"):
+            feat2 = spade_encode(
+                jnp.concatenate([up_in, lo_in], axis=0).astype(enc_dtype))
         n = up_in.shape[0]
         spade_upper_feat = self._spade_fill(feat2[:n], up_valid, up_res)
         spade_lower_feat = self._spade_fill(feat2[n:], lo_valid, lo_res)
@@ -247,16 +249,17 @@ class SynthesisNetwork(nn.Module):
 
         res_256 = resolutions[-2]
         spade_dtype = jnp.bfloat16 if res_256 >= bf16_res else jnp.float32
-        x_spade = spade_cls(res_256)(
-            channels[res_256], channels[res_256], spade_channels=128,
-            conv_clamp=self.conv_clamp, inner_remat=inner_remat,
-            name="spade_b256_1")(
-                x_256.astype(spade_dtype), spade_feat.astype(spade_dtype))
-        x_spade = spade_cls(res_256)(
-            channels[res_256], channels[res_256], spade_channels=128,
-            conv_clamp=self.conv_clamp, inner_remat=inner_remat,
-            name="spade_b256_2")(
-                x_spade, spade_feat.astype(spade_dtype))
+        with jax.named_scope("spade_b256"):
+            x_spade = spade_cls(res_256)(
+                channels[res_256], channels[res_256], spade_channels=128,
+                conv_clamp=self.conv_clamp, inner_remat=inner_remat,
+                name="spade_b256_1")(
+                    x_256.astype(spade_dtype), spade_feat.astype(spade_dtype))
+            x_spade = spade_cls(res_256)(
+                channels[res_256], channels[res_256], spade_channels=128,
+                conv_clamp=self.conv_clamp, inner_remat=inner_remat,
+                name="spade_b256_2")(
+                    x_spade, spade_feat.astype(spade_dtype))
 
         res_512 = resolutions[-1]
         texture = texture_cls(res_512)(
@@ -271,9 +274,10 @@ class SynthesisNetwork(nn.Module):
             **block_common,
         )
         last_ws = ws[:, self.num_ws - 3 : self.num_ws]
-        _, finetune_img, _ = texture(
-            x_spade.astype(_blk_dtype(res_512)), img_256, last_ws, pose_feat,
-            cat_cast.get(res_512), parsing_index, noise_mode)
+        with jax.named_scope("texture_b512"):
+            _, finetune_img, _ = texture(
+                x_spade.astype(_blk_dtype(res_512)), img_256, last_ws,
+                pose_feat, cat_cast.get(res_512), parsing_index, noise_mode)
 
         return img, finetune_img, pred_parsing
 
@@ -369,16 +373,22 @@ class Generator(nn.Module):
             assert_shape(t, (n, res, res, 1), name=nm)
         if gt_parsing is not None:
             assert_shape(gt_parsing, (n, res, res, 1), name="gt_parsing")
-        pose_feat = self.encode_pose(pose)
-        stylecode, feats = self.encode_style(c, retain)
-        ws = self.mapping(
-            z, stylecode, truncation_psi=truncation_psi,
-            truncation_cutoff=truncation_cutoff, update_w_avg=update_w_avg)
+        # Named profiler scopes mirror the reference's record_function
+        # taxonomy (torch_utils/misc.py:104-109 profiled_function usage).
+        with jax.named_scope("const_encoding"):
+            pose_feat = self.encode_pose(pose)
+        with jax.named_scope("style_encoding"):
+            stylecode, feats = self.encode_style(c, retain)
+        with jax.named_scope("mapping"):
+            ws = self.mapping(
+                z, stylecode, truncation_psi=truncation_psi,
+                truncation_cutoff=truncation_cutoff, update_w_avg=update_w_avg)
         cat_feats = {str(f.shape[1]): f for f in feats}
-        img, finetune, pred_parsing = self.synthesis(
-            ws, pose_feat, cat_feats, denorm_upper_input, denorm_lower_input,
-            denorm_upper_mask, denorm_lower_mask, gt_parsing,
-            noise_mode=noise_mode)
+        with jax.named_scope("synthesis"):
+            img, finetune, pred_parsing = self.synthesis(
+                ws, pose_feat, cat_feats, denorm_upper_input,
+                denorm_lower_input, denorm_upper_mask, denorm_lower_mask,
+                gt_parsing, noise_mode=noise_mode)
         if return_code:
             return img, finetune, pred_parsing, stylecode
         return img, finetune, pred_parsing

@@ -233,10 +233,12 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
         # mixing is a structural no-op for this model family; intentionally
         # not implemented.
 
-        # --- G phase ---
-        (g_loss, (new_g_buffers, g_metrics)), g_grads = _accum_grad(
-            lambda p, b, s_, k_: g_loss_fn(p, s_, b, k_),
-            state.g_params, batch, state, keys_g)
+        # --- G phase --- (named scopes mirror the reference's
+        # Timing/<phase> taxonomy, training_loop_fullbody.py:482-487)
+        with jax.named_scope("Gmain"):
+            (g_loss, (new_g_buffers, g_metrics)), g_grads = _accum_grad(
+                lambda p, b, s_, k_: g_loss_fn(p, s_, b, k_),
+                state.g_params, batch, state, keys_g)
         if cfg.sanitize_grads:
             g_grads = jax.tree.map(
                 lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5),
@@ -282,11 +284,12 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
             )
 
         # --- D phase (sees updated G, like the reference phase order) ---
-        (d_loss, d_metrics), d_grads = _accum_grad(
-            lambda p, b, gp, gb, s_, r_, k_: d_loss_fn(
-                p, gp, gb, s_, b, k_, r_),
-            state.d_params, batch_d, state.g_params, state.g_buffers, state,
-            do_r1_d, keys_d)
+        with jax.named_scope("Dmain"):
+            (d_loss, d_metrics), d_grads = _accum_grad(
+                lambda p, b, gp, gb, s_, r_, k_: d_loss_fn(
+                    p, gp, gb, s_, b, k_, r_),
+                state.d_params, batch_d, state.g_params, state.g_buffers,
+                state, do_r1_d, keys_d)
         if cfg.sanitize_grads:
             d_grads = jax.tree.map(
                 lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5),
@@ -301,11 +304,12 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
         dp_metrics = {}
         for i_dp in range(n_dp):
             keys_dp = dict(noise=ks[7 + i_dp])
-            (dp_loss, dp_metrics), dp_grads = _accum_grad(
-                lambda p, b, gp, gb, s_, r_, k_: dp_loss_fn(
-                    p, gp, gb, s_, b, k_, r_),
-                state.dp_params, batch_d, state.g_params, state.g_buffers,
-                state, do_r1_dp, keys_dp)
+            with jax.named_scope("DPmain"):
+                (dp_loss, dp_metrics), dp_grads = _accum_grad(
+                    lambda p, b, gp, gb, s_, r_, k_: dp_loss_fn(
+                        p, gp, gb, s_, b, k_, r_),
+                    state.dp_params, batch_d, state.g_params,
+                    state.g_buffers, state, do_r1_dp, keys_dp)
             dp_updates, dp_opt = dp_opt_tx.update(
                 dp_grads, state.dp_opt, state.dp_params)
             dp_params = optax.apply_updates(state.dp_params, dp_updates)
