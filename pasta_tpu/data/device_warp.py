@@ -204,16 +204,26 @@ def _mask_thresh(warp_impl):
     return 252.5 if warp_impl == "matmul_bf16" else 254.5
 
 
+def resolve_warp_impl(impl):
+    """'auto' -> the measured-best backend for the platform: matmul_bf16 on
+    TPU (55 vs 51.5 img/s/chip over f32 weights at batch 8, round 4; parity
+    within the accepted hat*hat class), bit-parity gathers elsewhere.
+    Callers must resolve BEFORE branching on the impl string — the warped-
+    mask threshold (_mask_thresh) is impl-dependent."""
+    if impl == "auto":
+        return "matmul_bf16" if jax.default_backend() == "tpu" else "gather"
+    return impl
+
+
 def _warp_multi(impl):
     """Select the multi-part warp backend.
 
     'gather': pointwise bilinear gathers (bit-parity oracle; ~0.5-4 GB/s on
     TPU — measured 73% of the serving program). 'matmul': the one-hot MXU
     two-pass (ops/projective_warp.py) — hat*hat-softened like the ADA
-    two-pass, >40 dB vs the oracle on image content. 'auto': matmul on TPU,
-    gather elsewhere."""
-    if impl == "auto":
-        impl = "matmul" if jax.default_backend() == "tpu" else "gather"
+    two-pass, >40 dB vs the oracle on image content; '_bf16' = bf16 one-hot
+    weights. 'auto': resolve_warp_impl's platform pick."""
+    impl = resolve_warp_impl(impl)
     if impl in ("matmul", "matmul_bf16"):
         import functools
 
@@ -305,6 +315,7 @@ def normalize_patches_device(
         [part_valid[:, :, 0], part_valid[:, lower_parts, 1]], axis=1
     ).astype(jnp.float32)                                     # [B, 15]
 
+    warp_impl = resolve_warp_impl(warp_impl)
     warp_multi = _warp_multi(warp_impl)
     cuts = warp_multi(src_stack, cut_src_idx, cut_m, patch, patch)
     cuts = cuts * cut_valid[:, :, None, None, None]           # [B,15,p,p,4]
@@ -572,6 +583,7 @@ def normalize_patches_device_tiled(
     cut_valid = jnp.concatenate(
         [part_valid[:, :, 0], part_valid[:, lower_parts, 1]], axis=1
     ).astype(jnp.float32)
+    warp_impl = resolve_warp_impl(warp_impl)
     warp_multi = _warp_multi(warp_impl)
     cut_kw = {}
     if cut_window_offsets is not None and warp_multi is not warp_perspective_multi:

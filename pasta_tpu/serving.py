@@ -294,9 +294,10 @@ def assemble_inputs_device(host: Dict[str, jnp.ndarray], mode: str,
     must have verified host["tiles_fit"] for every batch item.
 
     warp_impl: 'auto' (default) runs the cut/paste warps as one-hot MXU
-    matmuls on TPU (ops/projective_warp.py — the pointwise gathers were 73%
-    of the measured serving program) and gathers elsewhere; 'gather' forces
-    the oracle path.
+    matmuls with bf16 weights on TPU (ops/projective_warp.py — the pointwise
+    gathers were 73% of the measured serving program; bf16 weights halve the
+    W-matrix traffic, measured 55 vs 51.5 img/s/chip at batch 8) and gathers
+    elsewhere; 'matmul' forces f32 weights, 'gather' forces the oracle path.
 
     Accepts either the raw uint8 host_prepare batch or the output of
     ingest_device (casts below are identities then). Production callers
