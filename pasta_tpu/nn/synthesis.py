@@ -186,11 +186,30 @@ class SpadeConv2dLayer(nn.Module):
         )
 
 
+class _ConvWeight(nn.Module):
+    """Weight-only holder: registers `<name>/weight` without running a conv,
+    so a parent can fuse several same-input convs into one (param tree —
+    and thus the torch importer's name map — stays identical to the
+    unfused layout)."""
+
+    shape: Sequence[int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("weight", nn.initializers.normal(1.0),
+                          tuple(self.shape))
+
+
 class SpadeNormBlock(nn.Module):
     """SPADE: InstanceNorm(x) * (1 + gamma(feat)) + beta(feat).
 
     Reference Spade_Norm_Block (networks.py:1701-1723).
-    """
+
+    gamma and beta are two 3x3 C->C convolutions of the *same* activation;
+    a C=64 output only fills half the MXU's 128 output lanes, so they are
+    emitted as one C->2C conv and split (identical math — output channels
+    accumulate independently — measured ~2x the per-conv rate at the
+    512px blocks)."""
 
     in_channels: int      # channels of the conditioning features
     norm_channels: int    # channels of x
@@ -200,16 +219,17 @@ class SpadeNormBlock(nn.Module):
         conv_mlp = SpadeConv2dLayer(
             self.in_channels, self.norm_channels, kernel_size=3,
             use_bias=False, name="conv_mlp")
-        conv_gamma = SpadeConv2dLayer(
-            self.norm_channels, self.norm_channels, kernel_size=3,
-            use_bias=False, name="conv_gamma")
-        conv_beta = SpadeConv2dLayer(
-            self.norm_channels, self.norm_channels, kernel_size=3,
-            use_bias=False, name="conv_beta")
+        c = self.norm_channels
+        w_gamma = _ConvWeight((3, 3, c, c), name="conv_gamma")()
+        w_beta = _ConvWeight((3, 3, c, c), name="conv_beta")()
         normalized = instance_norm_2d(x)
         actv = jax.nn.relu(conv_mlp(denorm_feats, no_act=True))
-        gamma = conv_gamma(actv, no_act=True)
-        beta = conv_beta(actv, no_act=True)
+        gain = 1.0 / math.sqrt(c * 3 * 3)
+        w_gb = (jnp.concatenate([w_gamma, w_beta], axis=-1) * gain)
+        gb = conv2d_resample(
+            actv, w_gb.astype(actv.dtype), f=None, padding=1,
+            flip_weight=True)
+        gamma, beta = jnp.split(gb, 2, axis=-1)
         return normalized * (1 + gamma) + beta
 
 

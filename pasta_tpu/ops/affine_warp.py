@@ -128,6 +128,17 @@ def _pad_lanes(x, to):
     return jnp.pad(x, ((0, 0), (0, to - x.shape[1])))
 
 
+def _grid_group(n_blocks):
+    """Row-blocks fused per grid step: ~3 us of grid overhead per step makes
+    8-row steps launch-bound (measured ~10 ms for a 25k-row shift whose HBM
+    floor is ~0.2 ms); fusing G blocks per step amortizes it. Largest
+    divisor keeps the grid exact without row padding."""
+    for g in (32, 24, 16, 12, 8, 6, 4, 3, 2):
+        if n_blocks % g == 0:
+            return g
+    return 1
+
+
 def _shift_fwd_pallas(base, rem, w, wide, out_w):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -137,26 +148,30 @@ def _shift_fwd_pallas(base, rem, w, wide, out_w):
     vp = ((v + win + 127) // 128) * 128
     wide = _pad_lanes(wide, vp)
     rb = _ROWS_PER_BLOCK
+    g = _grid_group(r // rb)
 
     def kernel(base_ref, rem_ref, w_ref, src_ref, out_ref):
         i = pl.program_id(0)
-        b = pl.multiple_of(base_ref[i], 128)
-        # roll in f32 (Mosaic: "Rotate with non-32-bit data" unimplemented)
-        blk = src_ref[:, pl.ds(b, win)].astype(jnp.float32)
-        rolled = pltpu.roll(blk, shift=win - rem_ref[i], axis=1)
-        acc = w_ref[:, 0][:, None] * rolled[:, :out_w]
-        for t in range(1, _TAPS):
-            acc = acc + w_ref[:, t][:, None] * rolled[:, t:t + out_w]
-        out_ref[:, :] = acc.astype(out_ref.dtype)
+        for j in range(g):
+            b = pl.multiple_of(base_ref[i * g + j], 128)
+            rows = slice(j * rb, (j + 1) * rb)
+            # roll in f32 (Mosaic: "Rotate with non-32-bit data"
+            # unimplemented)
+            blk = src_ref[rows, pl.ds(b, win)].astype(jnp.float32)
+            rolled = pltpu.roll(blk, shift=win - rem_ref[i * g + j], axis=1)
+            acc = w_ref[rows, 0][:, None] * rolled[:, :out_w]
+            for t in range(1, _TAPS):
+                acc = acc + w_ref[rows, t][:, None] * rolled[:, t:t + out_w]
+            out_ref[rows, :] = acc.astype(out_ref.dtype)
 
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(r // rb,),
-            in_specs=[pl.BlockSpec((rb, _TAPS), lambda i, b, rm: (i, 0)),
-                      pl.BlockSpec((rb, vp), lambda i, b, rm: (i, 0))],
-            out_specs=pl.BlockSpec((rb, out_w), lambda i, b, rm: (i, 0)),
+            grid=(r // (rb * g),),
+            in_specs=[pl.BlockSpec((rb * g, _TAPS), lambda i, b, rm: (i, 0)),
+                      pl.BlockSpec((rb * g, vp), lambda i, b, rm: (i, 0))],
+            out_specs=pl.BlockSpec((rb * g, out_w), lambda i, b, rm: (i, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((r, out_w), wide.dtype),
         interpret=jax.default_backend() != "tpu",
@@ -171,32 +186,35 @@ def _shift_bwd_pallas(base, rem, w, dout, v_dim):
     win = _win(out_w)
     vp = ((v_dim + win + 127) // 128) * 128
     rb = _ROWS_PER_BLOCK
+    g = _grid_group(r // rb)
 
     def kernel(base_ref, rem_ref, w_ref, dout_ref, dw_ref):
         i = pl.program_id(0)
-        b = pl.multiple_of(base_ref[i], 128)
-        d = dout_ref[:, :].astype(jnp.float32)
-        # accumulate taps as static rolls of the zero-padded cotangent
-        # (``.at[].add``/dynamic_slice lower to unsupported Mosaic ops);
-        # the pad tail (win - out_w >= _TAPS) absorbs the wrap-around.
-        dpad = jnp.concatenate(
-            [d, jnp.zeros((rb, win - out_w), jnp.float32)], axis=1)
-        acc = w_ref[:, 0][:, None] * dpad
-        for t in range(1, _TAPS):
-            acc = acc + w_ref[:, t][:, None] * pltpu.roll(dpad, shift=t,
-                                                          axis=1)
-        rolled = pltpu.roll(acc, shift=rem_ref[i], axis=1)
-        dw_ref[:, :] = jnp.zeros((rb, vp), dw_ref.dtype)
-        dw_ref[:, pl.ds(b, win)] = rolled.astype(dw_ref.dtype)
+        dw_ref[:, :] = jnp.zeros((rb * g, vp), dw_ref.dtype)
+        for j in range(g):
+            b = pl.multiple_of(base_ref[i * g + j], 128)
+            rows = slice(j * rb, (j + 1) * rb)
+            d = dout_ref[rows, :].astype(jnp.float32)
+            # accumulate taps as static rolls of the zero-padded cotangent
+            # (``.at[].add``/dynamic_slice lower to unsupported Mosaic ops);
+            # the pad tail (win - out_w >= _TAPS) absorbs the wrap-around.
+            dpad = jnp.concatenate(
+                [d, jnp.zeros((rb, win - out_w), jnp.float32)], axis=1)
+            acc = w_ref[rows, 0][:, None] * dpad
+            for t in range(1, _TAPS):
+                acc = acc + w_ref[rows, t][:, None] * pltpu.roll(
+                    dpad, shift=t, axis=1)
+            rolled = pltpu.roll(acc, shift=rem_ref[i * g + j], axis=1)
+            dw_ref[rows, pl.ds(b, win)] = rolled.astype(dw_ref.dtype)
 
     dwide = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(r // rb,),
-            in_specs=[pl.BlockSpec((rb, _TAPS), lambda i, b, rm: (i, 0)),
-                      pl.BlockSpec((rb, out_w), lambda i, b, rm: (i, 0))],
-            out_specs=pl.BlockSpec((rb, vp), lambda i, b, rm: (i, 0)),
+            grid=(r // (rb * g),),
+            in_specs=[pl.BlockSpec((rb * g, _TAPS), lambda i, b, rm: (i, 0)),
+                      pl.BlockSpec((rb * g, out_w), lambda i, b, rm: (i, 0))],
+            out_specs=pl.BlockSpec((rb * g, vp), lambda i, b, rm: (i, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((r, vp), dout.dtype),
         interpret=jax.default_backend() != "tpu",

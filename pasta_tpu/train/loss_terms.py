@@ -35,6 +35,24 @@ def gt_parsing_onehot(gt_parsing):
     return jax.nn.one_hot(idx, 7, dtype=jnp.float32)
 
 
+def _ilv(*xs):
+    """Interleave sub-batches along batch: [a0,b0,a1,b1,...].
+
+    MinibatchStdLayer groups are batch-strided (group of sample j =
+    {j % (N/G) + k*(N/G)}, reference networks.py:527-549). Interleaving S
+    equal sub-batches keeps every group inside ONE sub-batch whenever
+    group_size divides the sub-batch length — so one discriminator call on
+    the interleaved stack is bit-identical to S separate calls, at S x the
+    conv batch (better MXU utilization, one kernel launch)."""
+    return jnp.stack(xs, axis=1).reshape((-1,) + xs[0].shape[1:])
+
+
+def _dilv(x, s):
+    """Inverse of `_ilv`: split an interleaved batch into its s parts."""
+    y = x.reshape((-1, s) + x.shape[1:])
+    return [y[:, i] for i in range(s)]
+
+
 def build_loss_cores(cfg, d, dp, vgg_params=None, mesh=None,
                      d_apply=None, dp_apply=None):
     """Returns dict(g=g_terms, d=d_terms, dp=dp_terms).
@@ -60,17 +78,36 @@ def build_loss_cores(cfg, d, dp, vgg_params=None, mesh=None,
         # evaluation (no grad) and shared by the img and finetune terms;
         # only the x-branch forward sits under remat (the 512px pyramids
         # are ~300MB/image otherwise).
-        _vgg_x_base = functools.partial(vgg_feature_loss, dtype=_vgg_dtype)
-        _vgg_x = jax.checkpoint(_vgg_x_base) if cfg.remat else _vgg_x_base
+        def _pair_losses(params, x2, real_feats):
+            # one VGG forward over [img; finetune], each half compared to
+            # the same real pyramid — same math as two calls, half the
+            # kernel launches and remat recomputes
+            from ..losses.vgg import vgg_features as _vf, FEATURE_WEIGHTS
+            fx = _vf(params, x2, dtype=_vgg_dtype)
+            li = lf = 0.0
+            for w, a, b in zip(FEATURE_WEIGHTS, fx, real_feats):
+                nb = b.shape[0]
+                d = jnp.abs(a - jnp.concatenate([b, b], axis=0)
+                            ).astype(jnp.float32)
+                li = li + w * jnp.mean(d[:nb])
+                lf = lf + w * jnp.mean(d[nb:])
+            return jnp.stack([li, lf])
+
+        _pair_x = jax.checkpoint(_pair_losses) if cfg.remat else _pair_losses
 
         def _vgg_pair(img, finetune, real):
             real_feats = [jax.lax.stop_gradient(f)
                           for f in vgg_features(vgg_params, real,
                                                 dtype=_vgg_dtype)]
-            return (_vgg_x(vgg_params, img, real_feats),
-                    _vgg_x(vgg_params, finetune, real_feats))
+            out = _pair_x(vgg_params, jnp.concatenate([img, finetune], 0),
+                          real_feats)
+            return out[0], out[1]
     else:
         _vgg_pair = None
+
+    def _can_batch_d(n):
+        gs = cfg.mbstd_group_size
+        return gs is not None and n >= gs and n % gs == 0
 
     def _d_in(img, pose, ada_p, aug_key, augment=True):
         """ADA-augment the 3ch image, then concat pose rgb (run_D,
@@ -82,11 +119,20 @@ def build_loss_cores(cfg, d, dp, vgg_params=None, mesh=None,
 
     def g_terms(outputs, d_params, dp_params, ada_p, batch, keys):
         img, finetune, pred_parsing, gen_c = outputs
+        n = img.shape[0]
 
-        d_in = _d_in(img, batch["pose"], ada_p, keys["aug1"])
-        d_in_ft = _d_in(finetune, batch["pose"], ada_p, keys["aug2"])
-        gen_logits = d_apply(d_params, d_in, gen_c)
-        ft_logits = d_apply(d_params, d_in_ft, gen_c)
+        if _can_batch_d(n):
+            # img+finetune interleaved into ONE augment + D call (see _ilv)
+            d_in2 = _d_in(_ilv(img, finetune),
+                          _ilv(batch["pose"], batch["pose"]),
+                          ada_p, keys["aug1"])
+            logits2 = d_apply(d_params, d_in2, _ilv(gen_c, gen_c))
+            gen_logits, ft_logits = _dilv(logits2, 2)
+        else:
+            d_in = _d_in(img, batch["pose"], ada_p, keys["aug1"])
+            d_in_ft = _d_in(finetune, batch["pose"], ada_p, keys["aug2"])
+            gen_logits = d_apply(d_params, d_in, gen_c)
+            ft_logits = d_apply(d_params, d_in_ft, gen_c)
 
         parsing_soft = jax.nn.softmax(pred_parsing, axis=-1)
         dp_in = jnp.concatenate(
@@ -141,12 +187,7 @@ def build_loss_cores(cfg, d, dp, vgg_params=None, mesh=None,
         return loss, metrics
 
     def d_terms(d_params, img, finetune, gen_c, ada_p, batch, keys, do_r1):
-        d_in = _d_in(img, batch["pose"], ada_p, keys["aug1"])
-        d_in_ft = _d_in(finetune, batch["pose"], ada_p, keys["aug2"])
-        gen_logits = d_apply(d_params, d_in, gen_c)
-        ft_logits = d_apply(d_params, d_in_ft, gen_c)
-        loss_fake = (d_logistic_loss(fake_logits=gen_logits)
-                     + d_logistic_loss(fake_logits=ft_logits)) / 2
+        n = img.shape[0]
 
         def real_logits_of(real_img):
             n_x = real_img.shape[0]
@@ -154,7 +195,29 @@ def build_loss_cores(cfg, d, dp, vgg_params=None, mesh=None,
                             keys["aug3"])
             return d_apply(d_params, real_in, gen_c[:n_x])
 
-        real_logits = real_logits_of(batch["real_img"])
+        if _can_batch_d(n) and not do_r1:
+            # non-R1 program: fake img + finetune + real in ONE interleaved
+            # augment + D call (R1 keeps real in its own grad closure)
+            d_in3 = _d_in(_ilv(img, finetune, batch["real_img"]),
+                          _ilv(*[batch["pose"]] * 3), ada_p, keys["aug1"])
+            logits3 = d_apply(d_params, d_in3, _ilv(*[gen_c] * 3))
+            gen_logits, ft_logits, real_logits = _dilv(logits3, 3)
+        elif _can_batch_d(n):
+            d_in2 = _d_in(_ilv(img, finetune),
+                          _ilv(batch["pose"], batch["pose"]),
+                          ada_p, keys["aug1"])
+            logits2 = d_apply(d_params, d_in2, _ilv(gen_c, gen_c))
+            gen_logits, ft_logits = _dilv(logits2, 2)
+            real_logits = real_logits_of(batch["real_img"])
+        else:
+            d_in = _d_in(img, batch["pose"], ada_p, keys["aug1"])
+            d_in_ft = _d_in(finetune, batch["pose"], ada_p, keys["aug2"])
+            gen_logits = d_apply(d_params, d_in, gen_c)
+            ft_logits = d_apply(d_params, d_in_ft, gen_c)
+            real_logits = real_logits_of(batch["real_img"])
+
+        loss_fake = (d_logistic_loss(fake_logits=gen_logits)
+                     + d_logistic_loss(fake_logits=ft_logits)) / 2
         loss_real = d_logistic_loss(real_logits=real_logits)
 
         loss = loss_fake + loss_real
@@ -178,18 +241,27 @@ def build_loss_cores(cfg, d, dp, vgg_params=None, mesh=None,
 
     def dp_terms(dp_params, parsing_soft, gen_c, batch, do_r1):
         pose_rgb = batch["pose"][..., 0:3]
-        fake_in = jnp.concatenate([parsing_soft, pose_rgb], axis=-1)
-        fake_logits = dp_apply(dp_params, fake_in, gen_c)
-        loss_fake = d_logistic_loss(fake_logits=fake_logits)
-
         gt_onehot = gt_parsing_onehot(batch["gt_parsing"])
+        n = parsing_soft.shape[0]
 
         def real_logits_of(gt_oh):
             n_x = gt_oh.shape[0]
             real_in = jnp.concatenate([gt_oh, pose_rgb[:n_x]], axis=-1)
             return dp_apply(dp_params, real_in, gen_c[:n_x])
 
-        real_logits = real_logits_of(gt_onehot)
+        if _can_batch_d(n) and not do_r1:
+            # fake + real parsing in ONE interleaved DP call (see _ilv)
+            in2 = jnp.concatenate(
+                [_ilv(parsing_soft, gt_onehot.astype(parsing_soft.dtype)),
+                 _ilv(pose_rgb, pose_rgb)], axis=-1)
+            fake_logits, real_logits = _dilv(
+                dp_apply(dp_params, in2, _ilv(gen_c, gen_c)), 2)
+        else:
+            fake_in = jnp.concatenate([parsing_soft, pose_rgb], axis=-1)
+            fake_logits = dp_apply(dp_params, fake_in, gen_c)
+            real_logits = real_logits_of(gt_onehot)
+
+        loss_fake = d_logistic_loss(fake_logits=fake_logits)
         loss_real = d_logistic_loss(real_logits=real_logits)
         loss = loss_fake + loss_real
         r1 = 0.0

@@ -126,6 +126,12 @@ def main():
         (8, 3, "gather"),        # warp A/B: the round-2 gather oracle
         (16, 3, "auto"),
     ]
+    if len(sys.argv) > 1:
+        # targeted ladder: each arg is batch,g_bf16,warp_impl
+        configs = []
+        for arg in sys.argv[1:]:
+            b, g, w = arg.split(",")
+            configs.append((int(b), int(g), w))
     t0 = time.time()
     jax.devices()  # pay init once, visibly
     print(f"# device init {time.time() - t0:.1f}s", flush=True)
