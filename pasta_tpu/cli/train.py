@@ -86,6 +86,11 @@ def parse_args(argv=None):
     p.add_argument("--d-remat", type=_strict_bool, default=None,
                    help="remat discriminator forwards (default follows "
                         "--remat)")
+    p.add_argument("--reuse-g-fakes", type=_strict_bool, default=False,
+                   help="D/parsing-D phases consume Gmain's stop-gradient "
+                        "fakes instead of a fresh no-grad G forward "
+                        "(classic-GAN semantics; ~8%% faster step; off = "
+                        "reference parity)")
     p.add_argument("--ada-impl", default="auto",
                    choices=["auto", "twopass", "gather"],
                    help="ADA geometric warp: TPU-native two-pass or the "
@@ -154,6 +159,7 @@ def build_config(args):
         remat_min_res=args.remat_min_res,
         spade_inner_remat=args.spade_inner_remat,
         d_remat=args.d_remat,
+        reuse_g_fakes=args.reuse_g_fakes,
         grad_accum=args.grad_accum,
     )
     if args.batch is not None:

@@ -57,6 +57,14 @@ class TrainConfig:
     # forwards per step; with use_noise=True those phases then see one
     # common noise draw instead of independent ones (same distribution).
     strict_phase_noise: bool = False
+    # When True (requires strict_phase_noise=False, grad_accum=1), the D and
+    # parsing-D phases consume the SAME stop-gradiented fakes Gmain already
+    # computed, eliminating the shared no-grad forward entirely (measured
+    # 113 ms of a 1355 ms b8 step). Semantics deviation vs the reference:
+    # D then sees fakes from the PRE-update G with Gmain's noise draw — the
+    # classic GAN regime (one fake batch per step) rather than StyleGAN2's
+    # per-phase regeneration; off by default for strict parity.
+    reuse_g_fakes: bool = False
 
     @property
     def split_phases(self):  # backward compat

@@ -95,13 +95,24 @@ def build_loss_cores(cfg, d, dp, vgg_params=None, mesh=None,
 
         _pair_x = jax.checkpoint(_pair_losses) if cfg.remat else _pair_losses
 
-        def _vgg_pair(img, finetune, real):
+        def _single_loss(params, x, real_feats):
+            return vgg_feature_loss(params, x, real_feats, dtype=_vgg_dtype)
+
+        _single_x = jax.checkpoint(_single_loss) if cfg.remat else _single_loss
+
+        def _vgg_pair(img, finetune, real, batched=True):
             real_feats = [jax.lax.stop_gradient(f)
                           for f in vgg_features(vgg_params, real,
                                                 dtype=_vgg_dtype)]
-            out = _pair_x(vgg_params, jnp.concatenate([img, finetune], 0),
-                          real_feats)
-            return out[0], out[1]
+            if batched:
+                out = _pair_x(vgg_params, jnp.concatenate([img, finetune], 0),
+                              real_feats)
+                return out[0], out[1]
+            # unbatched: two forwards at single-stream activation footprint
+            # (the R1 program variant sits ~90MB from the HBM ceiling at
+            # batch 8 — stream batching tips it over)
+            return (_single_x(vgg_params, img, real_feats),
+                    _single_x(vgg_params, finetune, real_feats))
     else:
         _vgg_pair = None
 
@@ -117,11 +128,12 @@ def build_loss_cores(cfg, d, dp, vgg_params=None, mesh=None,
                                impl=cfg.ada_impl, spmd_mesh=mesh)
         return jnp.concatenate([img, pose[..., 0:3]], axis=-1)
 
-    def g_terms(outputs, d_params, dp_params, ada_p, batch, keys):
+    def g_terms(outputs, d_params, dp_params, ada_p, batch, keys,
+                batch_streams=True):
         img, finetune, pred_parsing, gen_c = outputs
         n = img.shape[0]
 
-        if _can_batch_d(n):
+        if _can_batch_d(n) and batch_streams:
             # img+finetune interleaved into ONE augment + D call (see _ilv)
             d_in2 = _d_in(_ilv(img, finetune),
                           _ilv(batch["pose"], batch["pose"]),
@@ -159,7 +171,7 @@ def build_loss_cores(cfg, d, dp, vgg_params=None, mesh=None,
         loss_vgg = loss_vgg_ft = 0.0
         if _vgg_pair is not None:
             loss_vgg, loss_vgg_ft = _vgg_pair(
-                img, finetune, batch["real_img"])
+                img, finetune, batch["real_img"], batched=batch_streams)
             loss_vgg = loss_vgg * cfg.vgg_weight
             loss_vgg_ft = loss_vgg_ft * cfg.vgg_weight
 

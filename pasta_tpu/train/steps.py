@@ -91,12 +91,20 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
             _opt_cache["opts"] = make_optimizers(cfg, d_params)
         return _opt_cache["opts"]
 
-    def g_loss_fn(g_params, state: TrainState, batch, keys):
+    def g_loss_fn(g_params, state: TrainState, batch, keys,
+                  batch_streams=True, return_fakes=False):
         img, finetune, pred_parsing, gen_c, new_buffers = _run_g(
             g, g_params, state.g_buffers, batch, keys["noise"])
         loss, metrics = cores["g"](
             (img, finetune, pred_parsing, gen_c),
-            state.d_params, state.dp_params, state.ada_p, batch, keys)
+            state.d_params, state.dp_params, state.ada_p, batch, keys,
+            batch_streams=batch_streams)
+        if return_fakes:
+            fakes = jax.lax.stop_gradient(dict(
+                fake_img=img, fake_finetune=finetune,
+                fake_parsing_soft=jax.nn.softmax(pred_parsing, axis=-1),
+                gen_c=gen_c))
+            return loss, (new_buffers, metrics, fakes)
         return loss, (new_buffers, metrics)
 
     def d_loss_fn(d_params, g_params, g_buffers, state, batch, keys, do_r1):
@@ -235,10 +243,21 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
 
         # --- G phase --- (named scopes mirror the reference's
         # Timing/<phase> taxonomy, training_loop_fullbody.py:482-487)
+        # Stream batching (img+finetune in one D/VGG call) is disabled in
+        # the R1 program variants: their grad-of-grad peak sits ~90MB from
+        # the 16GB HBM ceiling at batch 8 and the 2x-batch Gmain
+        # activations tip it over (r4d_train_b8 OOM); R1 steps are
+        # 1-in-d_reg_interval, so the unbatched Gmain costs ~nothing.
+        batch_streams = not (do_r1_d or do_r1_dp)
+        reuse_fakes = (cfg.reuse_g_fakes and not cfg.strict_phase_noise
+                       and cfg.grad_accum == 1)
         with jax.named_scope("Gmain"):
-            (g_loss, (new_g_buffers, g_metrics)), g_grads = _accum_grad(
-                lambda p, b, s_, k_: g_loss_fn(p, s_, b, k_),
+            (g_loss, g_aux), g_grads = _accum_grad(
+                lambda p, b, s_, k_: g_loss_fn(
+                    p, s_, b, k_, batch_streams=batch_streams,
+                    return_fakes=reuse_fakes),
                 state.g_params, batch, state, keys_g)
+            new_g_buffers, g_metrics = g_aux[0], g_aux[1]
         if cfg.sanitize_grads:
             g_grads = jax.tree.map(
                 lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5),
@@ -268,9 +287,12 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
 
         # --- shared fake forward (one no-grad G forward from the updated G
         # feeds the D and parsing-D phases; strict_phase_noise=True restores
-        # the reference's fresh per-phase generator draws) ---
+        # the reference's fresh per-phase generator draws; reuse_g_fakes
+        # skips even the shared forward by feeding Gmain's own fakes) ---
         batch_d = batch
-        if not cfg.strict_phase_noise:
+        if reuse_fakes:
+            batch_d = dict(batch, **g_aux[2])
+        elif not cfg.strict_phase_noise:
             f_img, f_ft, f_pp, f_code, _ = _run_g(
                 g, state.g_params, state.g_buffers, batch, keys_d["noise"],
                 update_w_avg=False)

@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--skip-r1", action="store_true",
                     help="time plain steps only (halves A/B compile time)")
     ap.add_argument("--no-vgg", action="store_true")
+    ap.add_argument("--reuse-g-fakes", action="store_true",
+                    help="D/DP consume Gmain's fakes (skips the shared "
+                         "no-grad G forward; classic-GAN semantics)")
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
     args = ap.parse_args()
 
@@ -73,6 +76,7 @@ def main():
         grad_accum=args.grad_accum,
         use_noise=not args.no_noise,
         use_ada=not args.no_ada,
+        reuse_g_fakes=args.reuse_g_fakes,
     )
     cfg = TrainConfig(**cfg_kw)
 

@@ -71,21 +71,16 @@ def main():
 
 
 def _print_op_profile(trace_dir, top):
-    paths = sorted(glob.glob(
-        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True))
-    if not paths:
-        print("no xplane.pb found under", trace_dir)
-        return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    # tensorboard_plugin_profile's converter is broken in this image
+    # (xspace_to_tools_data wrapper mismatch); xplane_report parses the
+    # XSpace proto directly.
+    import xplane_report
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [paths[-1]], "framework_op_stats", {"tqx": "out:csv;"})
-    if isinstance(data, bytes):
-        data = data.decode()
-    lines = data.splitlines()
-    print("\n=== framework op stats (top rows) ===")
-    for line in lines[:top + 1]:
-        print(line[:220])
+    xspace = xplane_report.load_xspace(trace_dir)
+    print("\n=== top ops by self-time (xplane_report) ===")
+    xplane_report.analyze(xspace, by="op", top=top)
+    print("\n=== by category ===")
+    xplane_report.analyze(xspace, by="category", top=12)
 
 
 if __name__ == "__main__":

@@ -180,6 +180,48 @@ def test_vgg_pair_batched_matches_separate():
     np.testing.assert_allclose(got_vgg, float(want), rtol=1e-3)
 
 
+def test_g_terms_unbatched_variant_matches():
+    """g_terms(batch_streams=False) — the R1-program memory fallback —
+    computes the same loss as the batched default (D call and VGG pair
+    both take the separate-call path)."""
+    from pasta_tpu.losses.vgg import VGG19Features
+
+    base = smoke_config(1, batch_size=4, data_axis_size=1, resolution=32,
+                        use_ada=False, vgg_weight=1.0, l1_weight=1.0,
+                        mask_weight=0.0, remat=True, mbstd_group_size=2)
+    vgg_params = VGG19Features().init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 32, 32, 3)))
+    rng = np.random.RandomState(5)
+    outputs = (jnp.asarray(rng.randn(4, 32, 32, 3), jnp.float32),
+               jnp.asarray(rng.randn(4, 32, 32, 3), jnp.float32),
+               jnp.asarray(rng.randn(4, 32, 32, 7), jnp.float32),
+               jnp.asarray(rng.randn(4, 8), jnp.float32))
+    batch = dict(
+        real_img=jnp.asarray(rng.randn(4, 32, 32, 3), jnp.float32),
+        pose=jnp.asarray(rng.randn(4, 32, 32, 5), jnp.float32),
+        gt_parsing=jnp.asarray(
+            rng.randint(0, 7, (4, 32, 32, 1)), jnp.float32))
+    keys = dict(aug1=jax.random.PRNGKey(1), aug2=jax.random.PRNGKey(2))
+
+    def stat_apply(p, x, c):
+        n = x.shape[0]
+        g = min(2, n)
+        s = jnp.std(x.reshape(g, n // g, -1), axis=0).mean(axis=-1)
+        return (jnp.mean(x, axis=(1, 2, 3)) + jnp.tile(s, (g,)))[:, None]
+
+    cores = build_loss_cores(base, None, None, vgg_params,
+                             d_apply=stat_apply, dp_apply=stat_apply)
+    args = (outputs, None, None, jnp.float32(0.0), batch, keys)
+    loss_b, m_b = cores["g"](*args)
+    loss_u, m_u = cores["g"](*args, batch_streams=False)
+    # same reassociation tolerance as the pair test above
+    np.testing.assert_allclose(float(loss_u), float(loss_b), rtol=1e-3)
+    np.testing.assert_allclose(float(m_u["g_vgg"]), float(m_b["g_vgg"]),
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(m_u["g_loss"]), float(m_b["g_loss"]),
+                               rtol=1e-5)
+
+
 def test_spade_norm_fused_matches_two_convs():
     from pasta_tpu.nn.synthesis import SpadeNormBlock
     from pasta_tpu.nn.layers import instance_norm_2d

@@ -43,6 +43,49 @@ class TestFreezeD:
             before["b32"]["conv0"]["weight"], after["b32"]["conv0"]["weight"])
 
 
+class TestReuseGFakes:
+    @pytest.mark.slow
+    def test_matches_shared_forward_at_lr0(self):
+        """With lr=0 (G params frozen across the step) and use_noise=False
+        (noise keys irrelevant), the reuse_g_fakes step's D/DP phases see
+        bit-identical fakes to the shared-forward step — so every D metric
+        must match exactly."""
+        metrics = {}
+        for reuse in (False, True):
+            cfg = _small_cfg(use_ada=False, use_noise=False, lr=0.0,
+                             vgg_weight=0.0, reuse_g_fakes=reuse,
+                             donate=False)
+            state = init_state(cfg, jax.random.PRNGKey(0))
+            step = make_train_step(cfg)
+            batch = {k: jnp.asarray(v)
+                     for k, v in example_batch(
+                         cfg, np.random.RandomState(0)).items()}
+            _, m = step(state, batch, jax.random.PRNGKey(1))
+            metrics[reuse] = jax.device_get(m)
+        for k in ("d_loss", "real_scores", "fake_scores", "dp_loss"):
+            if k in metrics[False]:
+                np.testing.assert_allclose(
+                    metrics[True][k], metrics[False][k], rtol=0, atol=0,
+                    err_msg=k)
+
+    @pytest.mark.slow
+    def test_runs_with_real_lr(self):
+        """Smoke: the reuse step trains (finite losses, params move)."""
+        cfg = _small_cfg(use_ada=False, reuse_g_fakes=True, donate=False)
+        state = init_state(cfg, jax.random.PRNGKey(0))
+        step = make_train_step(cfg)
+        batch = {k: jnp.asarray(v)
+                 for k, v in example_batch(cfg, np.random.RandomState(1)).items()}
+        before = jax.device_get(state.g_params)
+        state, m = step(state, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(m["g_loss"]))
+        assert np.isfinite(float(m["d_loss"]))
+        after = jax.device_get(state.g_params)
+        flat_b = jax.tree.leaves(before)
+        flat_a = jax.tree.leaves(after)
+        assert any(not np.allclose(a, b) for a, b in zip(flat_a, flat_b))
+
+
 class TestNpzCheckpoint:
     def test_roundtrip(self, tmp_path):
         tree = {
