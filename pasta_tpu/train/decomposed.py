@@ -212,9 +212,14 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None, mesh=None):
         state = g_bwd_update(state, batch, ks[0], cots)
         state = state.replace(g_buffers=new_buffers)
 
-        # --- D / DP phases on the UPDATED G (reference phase order) ---
-        (img, ft, parsing, gen_c), _ = g_fwd(
-            state.g_params, state.g_buffers, batch, ks[3])
+        # --- D / DP phases on the UPDATED G (reference phase order);
+        # reuse_g_fakes feeds the G phase's own outputs instead (classic-GAN
+        # semantics, one fewer full G forward — see TrainConfig) ---
+        if cfg.reuse_g_fakes and not cfg.strict_phase_noise:
+            img, ft, parsing, gen_c = outputs
+        else:
+            (img, ft, parsing, gen_c), _ = g_fwd(
+                state.g_params, state.g_buffers, batch, ks[3])
         img = jax.lax.stop_gradient(img)
         ft = jax.lax.stop_gradient(ft)
         parsing = jax.lax.stop_gradient(parsing)

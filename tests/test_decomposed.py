@@ -46,6 +46,29 @@ def test_matches_monolithic():
                                    rtol=1e-3, atol=1e-4)
 
 
+def test_reuse_g_fakes_matches_monolithic_reuse():
+    """Decomposed + reuse_g_fakes == monolithic + reuse_g_fakes: both feed
+    the D/DP phases Gmain's own fakes, so at use_noise=False the post-step
+    D params must agree (same tolerance as the baseline parity test)."""
+    cfg = dataclasses.replace(
+        smoke_config(1), batch_size=2, data_axis_size=1, mbstd_group_size=2,
+        resolution=64, use_noise=False, use_ada=False, reuse_g_fakes=True)
+    state0 = init_state(cfg, jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v)
+             for k, v in example_batch(cfg, np.random.RandomState(0)).items()}
+    key = jax.random.PRNGKey(1)
+
+    s_mono, m_mono = make_train_step(cfg)(state0, batch, key)
+    s_deco, m_deco = make_decomposed_steps(cfg)(state0, batch, key)
+    for x, y in zip(jax.tree.leaves(s_mono.d_params),
+                    jax.tree.leaves(s_deco.d_params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=5e-3, atol=5e-5)
+    for name in ["d_loss", "dp_loss"]:
+        np.testing.assert_allclose(float(m_mono[name]), float(m_deco[name]),
+                                   rtol=1e-3, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_chunked_backward_matches():
     """bwd_chunk VJP-chunked G backward == whole-batch decomposed step."""
