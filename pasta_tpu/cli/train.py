@@ -86,6 +86,10 @@ def parse_args(argv=None):
     p.add_argument("--d-remat", type=_strict_bool, default=None,
                    help="remat discriminator forwards (default follows "
                         "--remat)")
+    p.add_argument("--vgg-remat", type=_strict_bool, default=None,
+                   help="remat the VGG loss forward (default follows "
+                        "--remat; False stores ~1GB of pyramids at b8 "
+                        "but skips the backward recompute)")
     p.add_argument("--reuse-g-fakes", type=_strict_bool, default=False,
                    help="D/parsing-D phases consume Gmain's stop-gradient "
                         "fakes instead of a fresh no-grad G forward "
@@ -159,6 +163,7 @@ def build_config(args):
         remat_min_res=args.remat_min_res,
         spade_inner_remat=args.spade_inner_remat,
         d_remat=args.d_remat,
+        vgg_remat=args.vgg_remat,
         reuse_g_fakes=args.reuse_g_fakes,
         grad_accum=args.grad_accum,
     )

@@ -160,6 +160,10 @@ class TrainConfig:
     # per backward; ~2.7 GB of D activations live otherwise at batch 8
     # across the step's ~9 D applications). None = follow remat.
     d_remat: Optional[bool] = None
+    # Remat the VGG loss forward (one extra VGG19 pyramid recompute per
+    # backward; storing the fake-stream pyramids costs ~1 GB at batch 8
+    # bf16). None = follow remat.
+    vgg_remat: Optional[bool] = None
 
     @property
     def batch_per_device(self):

@@ -93,12 +93,14 @@ def build_loss_cores(cfg, d, dp, vgg_params=None, mesh=None,
                 lf = lf + w * jnp.mean(d[nb:])
             return jnp.stack([li, lf])
 
-        _pair_x = jax.checkpoint(_pair_losses) if cfg.remat else _pair_losses
+        _vgg_remat = (cfg.remat if cfg.vgg_remat is None else cfg.vgg_remat)
+        _pair_x = jax.checkpoint(_pair_losses) if _vgg_remat else _pair_losses
 
         def _single_loss(params, x, real_feats):
             return vgg_feature_loss(params, x, real_feats, dtype=_vgg_dtype)
 
-        _single_x = jax.checkpoint(_single_loss) if cfg.remat else _single_loss
+        _single_x = (jax.checkpoint(_single_loss) if _vgg_remat
+                     else _single_loss)
 
         def _vgg_pair(img, finetune, real, batched=True):
             real_feats = [jax.lax.stop_gradient(f)

@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--remat-min-res", type=int, default=0)
     ap.add_argument("--no-spade-inner-remat", action="store_true")
     ap.add_argument("--no-d-remat", action="store_true")
+    ap.add_argument("--no-vgg-remat", action="store_true")
     ap.add_argument("--grad-accum", type=int, default=1)
     ap.add_argument("--no-noise", action="store_true",
                     help="use_noise=False (A/B: per-layer RNG cost)")
@@ -73,6 +74,7 @@ def main():
         remat_min_res=args.remat_min_res,
         spade_inner_remat=False if args.no_spade_inner_remat else None,
         d_remat=False if args.no_d_remat else None,
+        vgg_remat=False if args.no_vgg_remat else None,
         grad_accum=args.grad_accum,
         use_noise=not args.no_noise,
         use_ada=not args.no_ada,

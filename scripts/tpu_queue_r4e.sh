@@ -1,11 +1,12 @@
 #!/bin/bash
-# Round-4 queue, leg e: after the r4d findings —
-#   * r4d_train_b8 R1 variant OOM'd by 90MB (the r4c Gmain stream
-#     batching tipped the grad-of-grad peak over 15.75GB); the step now
-#     disables stream batching in the R1 program variants. Re-measure.
-#   * stem-conv layout probe (42x lane-padded input copy).
-#   * serving batch-48 point (32 = 62.4, 64 OOMs; is 48 the peak?).
-#   * fresh serving per-op profile after erosion+bf16-warp+spade fusion.
+# Round-4 queue, leg e (relaunched): the R1 program variant at batch 8 +
+# full-batch R1 is 23MB over the 15.75GB HBM ceiling even with the
+# per-variant stream-batching fix (was 90MB over) — the Gmain spade
+# encoder holds 2x 1GB remat buffers (batch-16 garment streams at 512²,
+# 2x lane padding). r1_batch_shrink=2 is the documented single-chip
+# memory knob (unbiased estimator, mirroring the reference's own
+# pl_batch_shrink=2); measure the full pipeline there and the plain-step
+# levers separately.
 #
 # Run SOLO — no concurrent CPU work.
 #   setsid nohup bash scripts/tpu_queue_r4e.sh >/tmp/queue_r4e_driver.log 2>&1 &
@@ -21,20 +22,22 @@ run() {
   tail -3 "$OUT/$name.log" | tee -a "$OUT/queue_r4e.log"
 }
 
-run r4e_train_b8 python scripts/bench_train.py \
-  --batch 8 --g-bf16-res 7 --d-bf16-res 7 --remat --rbg --steps 12
+# Full pipeline (plain + R1) at the single-chip R1 operating point.
+run r4e_train_b8_shrink2 python scripts/bench_train.py \
+  --batch 8 --g-bf16-res 7 --d-bf16-res 7 --remat --rbg --steps 12 \
+  --r1-batch-shrink 2
 
 # reuse_g_fakes: skip the shared no-grad G forward (113 ms of the
 # 1355 ms step per the r4d trace) — classic-GAN fake semantics, opt-in.
 run r4e_train_reuse python scripts/bench_train.py \
   --batch 8 --g-bf16-res 7 --d-bf16-res 7 --remat --rbg --steps 12 \
-  --reuse-g-fakes
+  --r1-batch-shrink 2 --reuse-g-fakes
 
-# d_remat off was +9% without R1 (r4d: 1259 vs 1375 ms); check it fits
-# WITH the R1 program now that R1 variants run unbatched Gmain streams.
+# d_remat off was +9% without R1 (r4d: 1259 vs 1375 ms); with shrink2
+# does the R1 program still fit?
 run r4e_train_nodremat python scripts/bench_train.py \
   --batch 8 --g-bf16-res 7 --d-bf16-res 7 --remat --no-d-remat --rbg \
-  --steps 12
+  --steps 12 --r1-batch-shrink 2
 
 run r4e_probe_stem python scripts/probe_stem_conv.py --batch 16
 

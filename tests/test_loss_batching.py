@@ -180,6 +180,45 @@ def test_vgg_pair_batched_matches_separate():
     np.testing.assert_allclose(got_vgg, float(want), rtol=1e-3)
 
 
+def test_vgg_remat_off_same_loss():
+    """vgg_remat=False (store pyramids, skip backward recompute) computes
+    the same g_terms loss and grads as the remat default."""
+    from pasta_tpu.losses.vgg import VGG19Features
+
+    losses = {}
+    for vr in (None, False):
+        base = smoke_config(1, batch_size=2, data_axis_size=1, resolution=32,
+                            use_ada=False, vgg_weight=1.0, l1_weight=0.0,
+                            mask_weight=0.0, remat=True, vgg_remat=vr,
+                            mbstd_group_size=2)
+        vgg_params = VGG19Features().init(
+            jax.random.PRNGKey(7), jnp.zeros((1, 32, 32, 3)))
+        rng = np.random.RandomState(9)
+        img = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+        ft = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+        outputs = (img, ft, jnp.zeros((2, 32, 32, 7)), jnp.zeros((2, 8)))
+        batch = dict(real_img=jnp.asarray(rng.randn(2, 32, 32, 3),
+                                          jnp.float32),
+                     pose=jnp.zeros((2, 32, 32, 5)),
+                     gt_parsing=jnp.zeros((2, 32, 32, 1)))
+        keys = dict(aug1=jax.random.PRNGKey(1), aug2=jax.random.PRNGKey(2))
+        cores = build_loss_cores(
+            base, None, None, vgg_params,
+            d_apply=lambda p, x, c: jnp.zeros((x.shape[0], 1)),
+            dp_apply=lambda p, x, c: jnp.zeros((x.shape[0], 1)))
+
+        def f(im):
+            loss, _ = cores["g"]((im,) + outputs[1:], None, None,
+                                 jnp.float32(0.0), batch, keys)
+            return loss
+
+        losses[vr] = (float(f(img)), jax.grad(f)(img))
+    np.testing.assert_allclose(losses[False][0], losses[None][0], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(losses[False][1]),
+                               np.asarray(losses[None][1]), rtol=1e-5,
+                               atol=1e-7)
+
+
 def test_g_terms_unbatched_variant_matches():
     """g_terms(batch_streams=False) — the R1-program memory fallback —
     computes the same loss as the batched default (D call and VGG pair
