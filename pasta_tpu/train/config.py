@@ -63,7 +63,9 @@ class TrainConfig:
     # 113 ms of a 1355 ms b8 step). Semantics deviation vs the reference:
     # D then sees fakes from the PRE-update G with Gmain's noise draw — the
     # classic GAN regime (one fake batch per step) rather than StyleGAN2's
-    # per-phase regeneration; off by default for strict parity.
+    # per-phase regeneration; off by default for strict parity. In the
+    # monolithic step the reuse only applies to non-R1 program variants
+    # (the fakes otherwise outlive Gmain's backward: +379MB at b8, OOM).
     reuse_g_fakes: bool = False
 
     @property

@@ -79,12 +79,22 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
         return dp.apply({"params": params}, x, c)
 
     d_remat = cfg.remat if cfg.d_remat is None else cfg.d_remat
-    if d_remat:
-        _d_apply = jax.checkpoint(_d_apply)
-        _dp_apply = jax.checkpoint(_dp_apply)
 
-    cores = build_loss_cores(cfg, d, dp, vgg_params, mesh=mesh,
-                             d_apply=_d_apply, dp_apply=_dp_apply)
+    def _make_cores(remat_d):
+        da, dpa = _d_apply, _dp_apply
+        if remat_d:
+            da, dpa = jax.checkpoint(da), jax.checkpoint(dpa)
+        return build_loss_cores(cfg, d, dp, vgg_params, mesh=mesh,
+                                d_apply=da, dp_apply=dpa)
+
+    # Remat policy is per program variant (numerics-neutral): the plain
+    # variant honors cfg.d_remat (off measures +9% at b8: 1259 vs 1375 ms,
+    # r4d), while the R1 variants force D remat whenever global remat is
+    # on — the D grad-of-grad without it needs 20.5GB at b8
+    # (r4e_train_nodremat OOM).
+    cores_by_r1 = {False: _make_cores(d_remat),
+                   True: _make_cores(d_remat or cfg.remat)}
+    cores = cores_by_r1[False]
 
     def _get_opts(d_params):
         if "opts" not in _opt_cache:
@@ -92,7 +102,7 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
         return _opt_cache["opts"]
 
     def g_loss_fn(g_params, state: TrainState, batch, keys,
-                  batch_streams=True, return_fakes=False):
+                  batch_streams=True, return_fakes=False, cores=cores):
         img, finetune, pred_parsing, gen_c, new_buffers = _run_g(
             g, g_params, state.g_buffers, batch, keys["noise"])
         loss, metrics = cores["g"](
@@ -107,7 +117,8 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
             return loss, (new_buffers, metrics, fakes)
         return loss, (new_buffers, metrics)
 
-    def d_loss_fn(d_params, g_params, g_buffers, state, batch, keys, do_r1):
+    def d_loss_fn(d_params, g_params, g_buffers, state, batch, keys, do_r1,
+                  cores=cores):
         if "fake_img" in batch:
             # Shared no-grad fakes computed once per step (strict_phase_noise
             # off): one generator forward feeds the D and parsing-D phases.
@@ -122,7 +133,8 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
         return cores["d"](d_params, img, finetune, gen_c, state.ada_p,
                           batch, keys, do_r1)
 
-    def dp_loss_fn(dp_params, g_params, g_buffers, state, batch, keys, do_r1):
+    def dp_loss_fn(dp_params, g_params, g_buffers, state, batch, keys, do_r1,
+                   cores=cores):
         if "fake_parsing_soft" in batch:
             parsing_soft = batch["fake_parsing_soft"]
             gen_c = batch["gen_c"]
@@ -249,13 +261,19 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
         # activations tip it over (r4d_train_b8 OOM); R1 steps are
         # 1-in-d_reg_interval, so the unbatched Gmain costs ~nothing.
         batch_streams = not (do_r1_d or do_r1_dp)
+        # reuse_g_fakes is also disabled in the R1 variants: the fakes then
+        # have to outlive Gmain's backward (they are grad-aux outputs), and
+        # the small-C f32 planes land in lane-padded layouts — measured
+        # +379MB over the ceiling at batch 8 (r4e_train_reuse OOM). R1
+        # steps pay the shared forward; plain steps (15/16) keep the win.
         reuse_fakes = (cfg.reuse_g_fakes and not cfg.strict_phase_noise
-                       and cfg.grad_accum == 1)
+                       and cfg.grad_accum == 1 and batch_streams)
+        cores_v = cores_by_r1[bool(do_r1_d or do_r1_dp)]
         with jax.named_scope("Gmain"):
             (g_loss, g_aux), g_grads = _accum_grad(
                 lambda p, b, s_, k_: g_loss_fn(
                     p, s_, b, k_, batch_streams=batch_streams,
-                    return_fakes=reuse_fakes),
+                    return_fakes=reuse_fakes, cores=cores_v),
                 state.g_params, batch, state, keys_g)
             new_g_buffers, g_metrics = g_aux[0], g_aux[1]
         if cfg.sanitize_grads:
@@ -309,7 +327,7 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
         with jax.named_scope("Dmain"):
             (d_loss, d_metrics), d_grads = _accum_grad(
                 lambda p, b, gp, gb, s_, r_, k_: d_loss_fn(
-                    p, gp, gb, s_, b, k_, r_),
+                    p, gp, gb, s_, b, k_, r_, cores=cores_v),
                 state.d_params, batch_d, state.g_params, state.g_buffers,
                 state, do_r1_d, keys_d)
         if cfg.sanitize_grads:
@@ -329,7 +347,7 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
             with jax.named_scope("DPmain"):
                 (dp_loss, dp_metrics), dp_grads = _accum_grad(
                     lambda p, b, gp, gb, s_, r_, k_: dp_loss_fn(
-                        p, gp, gb, s_, b, k_, r_),
+                        p, gp, gb, s_, b, k_, r_, cores=cores_v),
                     state.dp_params, batch_d, state.g_params,
                     state.g_buffers, state, do_r1_dp, keys_dp)
             dp_updates, dp_opt = dp_opt_tx.update(
