@@ -153,11 +153,23 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None, mesh=None):
     def d_phase(state: TrainState, img, ft, gen_c, batch, keys, do_r1=False):
         (loss, metrics), grads = jax.value_and_grad(
             cores["d"], has_aux=True)(state.d_params, img, ft, gen_c,
-                                      state.ada_p, batch, keys, do_r1)
+                                      state.ada_p, batch, keys, False)
         grads = sanitize(grads)
         updates, d_opt = d_opt_tx.update(grads, state.d_opt, state.d_params)
         params = optax.apply_updates(state.d_params, updates)
-        return state.replace(d_params=params, d_opt=d_opt), metrics
+        state = state.replace(d_params=params, d_opt=d_opt)
+        if do_r1:
+            # Dreg: own backward + own optimizer update (reference phase
+            # semantics, same split as the monolithic step's r1_d_step).
+            (_, r1_metrics), grads = jax.value_and_grad(
+                cores["d_r1"], has_aux=True)(
+                    state.d_params, gen_c, state.ada_p, batch, keys)
+            updates, d_opt = d_opt_tx.update(
+                sanitize(grads), state.d_opt, state.d_params)
+            params = optax.apply_updates(state.d_params, updates)
+            state = state.replace(d_params=params, d_opt=d_opt)
+            metrics = {**metrics, **r1_metrics}
+        return state, metrics
 
     @functools.partial(jax.jit, static_argnames=("do_r1", "fold_post"),
                        donate_argnums=donate)
@@ -166,12 +178,21 @@ def make_decomposed_steps(cfg: TrainConfig, vgg_params=None, mesh=None):
         parsing_soft = jax.nn.softmax(parsing, axis=-1)
         (loss, metrics), grads = jax.value_and_grad(
             cores["dp"], has_aux=True)(state.dp_params, parsing_soft, gen_c,
-                                       batch, do_r1)
+                                       batch, False)
         grads = sanitize(grads)
         updates, dp_opt = dp_opt_tx.update(grads, state.dp_opt,
                                            state.dp_params)
         params = optax.apply_updates(state.dp_params, updates)
         state = state.replace(dp_params=params, dp_opt=dp_opt)
+        if do_r1:
+            # DPreg: own backward + own optimizer update (see d_phase).
+            (_, r1_metrics), grads = jax.value_and_grad(
+                cores["dp_r1"], has_aux=True)(state.dp_params, gen_c, batch)
+            updates, dp_opt = dp_opt_tx.update(
+                sanitize(grads), state.dp_opt, state.dp_params)
+            params = optax.apply_updates(state.dp_params, updates)
+            state = state.replace(dp_params=params, dp_opt=dp_opt)
+            metrics = {**metrics, **r1_metrics}
         if fold_post:
             # EMA + ADA bookkeeping folded into the last DP program — one
             # fewer dispatch per step (the tunnel dispatch is the decomposed

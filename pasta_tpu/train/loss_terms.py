@@ -288,4 +288,40 @@ def build_loss_cores(cfg, d, dp, vgg_params=None, mesh=None,
         metrics = dict(dp_loss=loss_fake + loss_real, dp_r1_penalty=r1)
         return loss, metrics
 
-    return dict(g=g_terms, d=d_terms, dp=dp_terms, d_in=_d_in)
+    def d_r1_terms(d_params, gen_c, ada_p, batch, keys):
+        """Standalone lazy-R1 loss for the img discriminator — the
+        reference's Dreg phase (loss_fullbody.py:306-330): its own backward
+        and its own optimizer step, separate from Dmain. Keeping it out of
+        the main program also keeps the D grad-of-grad's memory peak out of
+        the Gmain-bearing step (the folded variant OOMs the 16GB chip at
+        batch 8)."""
+        n_r1 = batch["real_img"].shape[0] // cfg.r1_batch_shrink
+
+        def real_logits_of(x):
+            real_in = _d_in(x, batch["pose"][:n_r1], ada_p, keys["aug3"])
+            return d_apply(d_params, real_in, gen_c[:n_r1])
+
+        grads = jax.grad(lambda x: jnp.sum(real_logits_of(x)))(
+            batch["real_img"][:n_r1])
+        r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
+        loss = r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
+        return loss, dict(r1_penalty=r1)
+
+    def dp_r1_terms(dp_params, gen_c, batch):
+        """Standalone lazy-R1 loss for the parsing discriminator."""
+        pose_rgb = batch["pose"][..., 0:3]
+        gt_onehot = gt_parsing_onehot(batch["gt_parsing"])
+        n_r1 = gt_onehot.shape[0] // cfg.r1_batch_shrink
+
+        def real_logits_of(x):
+            real_in = jnp.concatenate([x, pose_rgb[:n_r1]], axis=-1)
+            return dp_apply(dp_params, real_in, gen_c[:n_r1])
+
+        grads = jax.grad(lambda x: jnp.sum(real_logits_of(x)))(
+            gt_onehot[:n_r1])
+        r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
+        loss = r1 * (cfg.r1_gamma / 2) * cfg.d_reg_interval
+        return loss, dict(dp_r1_penalty=r1)
+
+    return dict(g=g_terms, d=d_terms, dp=dp_terms, d_in=_d_in,
+                d_r1=d_r1_terms, dp_r1=dp_r1_terms)

@@ -62,7 +62,13 @@ _gt_parsing_onehot = gt_parsing_onehot
 def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
     """Returns step(state, batch, key, do_r1_d, do_r1_dp) -> (state, metrics).
 
-    do_r1_* are static; jit compiles (at most) 4 variants.
+    The lazy R1 regularizers run as their OWN jitted programs with their
+    own optimizer updates — the reference's Dreg/DPreg phase semantics
+    (each phase does its own backward + opt.step(); folding R1 into the
+    Dmain update was a one-update approximation AND put the D grad-of-grad
+    in the same program as Gmain's backward, which does not fit 16GB HBM
+    at 512px batch 8). The main program therefore always compiles the
+    plain variant with every stream-batching/fake-reuse optimization on.
     """
     g, d, dp = make_models(cfg)
     _opt_cache = {}
@@ -87,14 +93,13 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
         return build_loss_cores(cfg, d, dp, vgg_params, mesh=mesh,
                                 d_apply=da, dp_apply=dpa)
 
-    # Remat policy is per program variant (numerics-neutral): the plain
-    # variant honors cfg.d_remat (off measures +9% at b8: 1259 vs 1375 ms,
-    # r4d), while the R1 variants force D remat whenever global remat is
+    # Remat policy is per program (numerics-neutral): the main program
+    # honors cfg.d_remat (off measures +9% at b8: 1259 vs 1375 ms, r4d);
+    # the standalone R1 programs force D remat whenever global remat is
     # on — the D grad-of-grad without it needs 20.5GB at b8
     # (r4e_train_nodremat OOM).
-    cores_by_r1 = {False: _make_cores(d_remat),
-                   True: _make_cores(d_remat or cfg.remat)}
-    cores = cores_by_r1[False]
+    cores = _make_cores(d_remat)
+    cores_r1 = cores if (d_remat or not cfg.remat) else _make_cores(True)
 
     def _get_opts(d_params):
         if "opts" not in _opt_cache:
@@ -238,10 +243,9 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
         return (lsum / a, aux), jax.tree.map(lambda g: g / a, gsum)
 
     @functools.partial(
-        jax.jit, static_argnames=("do_r1_d", "do_r1_dp", "do_pl"),
+        jax.jit, static_argnames=("do_pl",),
         donate_argnums=(0,) if cfg.donate else ())
-    def train_step(state: TrainState, batch, key, do_r1_d: bool = False,
-                   do_r1_dp: bool = False, do_pl: bool = False):
+    def main_step(state: TrainState, batch, key, do_pl: bool = False):
         g_opt_tx, d_opt_tx, dp_opt_tx = _get_opts(state.d_params)
         ks = jax.random.split(key, 12)
         keys_g = dict(noise=ks[0], aug1=ks[1], aug2=ks[2])
@@ -255,25 +259,12 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
 
         # --- G phase --- (named scopes mirror the reference's
         # Timing/<phase> taxonomy, training_loop_fullbody.py:482-487)
-        # Stream batching (img+finetune in one D/VGG call) is disabled in
-        # the R1 program variants: their grad-of-grad peak sits ~90MB from
-        # the 16GB HBM ceiling at batch 8 and the 2x-batch Gmain
-        # activations tip it over (r4d_train_b8 OOM); R1 steps are
-        # 1-in-d_reg_interval, so the unbatched Gmain costs ~nothing.
-        batch_streams = not (do_r1_d or do_r1_dp)
-        # reuse_g_fakes is also disabled in the R1 variants: the fakes then
-        # have to outlive Gmain's backward (they are grad-aux outputs), and
-        # the small-C f32 planes land in lane-padded layouts — measured
-        # +379MB over the ceiling at batch 8 (r4e_train_reuse OOM). R1
-        # steps pay the shared forward; plain steps (15/16) keep the win.
         reuse_fakes = (cfg.reuse_g_fakes and not cfg.strict_phase_noise
-                       and cfg.grad_accum == 1 and batch_streams)
-        cores_v = cores_by_r1[bool(do_r1_d or do_r1_dp)]
+                       and cfg.grad_accum == 1)
         with jax.named_scope("Gmain"):
             (g_loss, g_aux), g_grads = _accum_grad(
                 lambda p, b, s_, k_: g_loss_fn(
-                    p, s_, b, k_, batch_streams=batch_streams,
-                    return_fakes=reuse_fakes, cores=cores_v),
+                    p, s_, b, k_, return_fakes=reuse_fakes),
                 state.g_params, batch, state, keys_g)
             new_g_buffers, g_metrics = g_aux[0], g_aux[1]
         if cfg.sanitize_grads:
@@ -323,13 +314,14 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
                 gen_c=jax.lax.stop_gradient(f_code),
             )
 
-        # --- D phase (sees updated G, like the reference phase order) ---
+        # --- D phase (sees updated G, like the reference phase order;
+        # the lazy R1 reg runs as its own program/update — see r1_d_step) ---
         with jax.named_scope("Dmain"):
             (d_loss, d_metrics), d_grads = _accum_grad(
                 lambda p, b, gp, gb, s_, r_, k_: d_loss_fn(
-                    p, gp, gb, s_, b, k_, r_, cores=cores_v),
+                    p, gp, gb, s_, b, k_, r_),
                 state.d_params, batch_d, state.g_params, state.g_buffers,
-                state, do_r1_d, keys_d)
+                state, False, keys_d)
         if cfg.sanitize_grads:
             d_grads = jax.tree.map(
                 lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5),
@@ -347,9 +339,9 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
             with jax.named_scope("DPmain"):
                 (dp_loss, dp_metrics), dp_grads = _accum_grad(
                     lambda p, b, gp, gb, s_, r_, k_: dp_loss_fn(
-                        p, gp, gb, s_, b, k_, r_, cores=cores_v),
+                        p, gp, gb, s_, b, k_, r_),
                     state.dp_params, batch_d, state.g_params,
-                    state.g_buffers, state, do_r1_dp, keys_dp)
+                    state.g_buffers, state, False, keys_dp)
             dp_updates, dp_opt = dp_opt_tx.update(
                 dp_grads, state.dp_opt, state.dp_params)
             dp_params = optax.apply_updates(state.dp_params, dp_updates)
@@ -374,6 +366,7 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
                 cfg.batch_size / (cfg.ada_kimg * 1000)
             ada_p = jnp.clip(ada_p + adjust, 0.0, 1.0)
 
+        ada_p_pre = state.ada_p
         state = state.replace(
             step=state.step + 1,
             cur_nimg=state.cur_nimg + cfg.batch_size,
@@ -383,6 +376,75 @@ def make_train_step(cfg: TrainConfig, vgg_params=None, mesh=None):
         )
         metrics = dict(ada_p=ada_p, **g_metrics, **d_metrics, **dp_metrics,
                        **pl_metrics)
+        # Context for the standalone R1 programs: the D conditioning code
+        # (from the shared fake forward) and the ada_p the Dmain augment
+        # used (the reference updates ada once per tick, after all phases).
+        gen_c = batch_d.get(
+            "gen_c", jnp.zeros((batch["real_img"].shape[0], 0)))
+        return state, metrics, (gen_c, ada_p_pre)
+
+    def _sanitize(grads):
+        if not cfg.sanitize_grads:
+            return grads
+        return jax.tree.map(
+            lambda x: jnp.nan_to_num(x, nan=0.0, posinf=1e5, neginf=-1e5),
+            grads)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if cfg.donate else ())
+    def r1_d_step(state: TrainState, batch, gen_c, ada_p, key):
+        """Dreg phase: standalone lazy-R1 backward + its own optimizer
+        update (reference loss_fullbody.py:306-330 / train phase registry).
+        Splitting it out keeps the D grad-of-grad's memory peak out of the
+        Gmain-bearing program — the folded variant needs >15.75GB at 512px
+        batch 8 — and matches the reference's per-phase opt.step()
+        semantics exactly (the folded single-update was an approximation:
+        Adam is nonlinear in the summed gradient)."""
+        _, d_opt_tx, _ = _get_opts(state.d_params)
+        ks = jax.random.split(key, 12)
+        if cfg.strict_phase_noise:
+            _, _, _, gen_c, _ = _run_g(
+                g, state.g_params, state.g_buffers, batch, ks[3],
+                update_w_avg=False)
+            gen_c = jax.lax.stop_gradient(gen_c)
+        keys = dict(aug3=ks[6])  # same slice Dmain's real branch draws
+        with jax.named_scope("Dr1"):
+            (_, r1_metrics), grads = jax.value_and_grad(
+                cores_r1["d_r1"], has_aux=True)(
+                    state.d_params, gen_c, ada_p, batch, keys)
+        updates, d_opt = d_opt_tx.update(
+            _sanitize(grads), state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        return state.replace(d_params=d_params, d_opt=d_opt), r1_metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if cfg.donate else ())
+    def r1_dp_step(state: TrainState, batch, gen_c, key):
+        """DPreg phase: standalone lazy-R1 for the parsing discriminator."""
+        _, _, dp_opt_tx = _get_opts(state.d_params)
+        ks = jax.random.split(key, 12)
+        if cfg.strict_phase_noise:
+            _, _, _, gen_c, _ = _run_g(
+                g, state.g_params, state.g_buffers, batch, ks[7],
+                update_w_avg=False)
+            gen_c = jax.lax.stop_gradient(gen_c)
+        with jax.named_scope("DPr1"):
+            (_, r1_metrics), grads = jax.value_and_grad(
+                cores_r1["dp_r1"], has_aux=True)(
+                    state.dp_params, gen_c, batch)
+        updates, dp_opt = dp_opt_tx.update(
+            _sanitize(grads), state.dp_opt, state.dp_params)
+        dp_params = optax.apply_updates(state.dp_params, updates)
+        return state.replace(dp_params=dp_params, dp_opt=dp_opt), r1_metrics
+
+    def train_step(state: TrainState, batch, key, do_r1_d: bool = False,
+                   do_r1_dp: bool = False, do_pl: bool = False):
+        state, metrics, (gen_c, ada_p_pre) = main_step(
+            state, batch, key, do_pl=do_pl)
+        if do_r1_d:
+            state, m = r1_d_step(state, batch, gen_c, ada_p_pre, key)
+            metrics = {**metrics, **m}
+        if do_r1_dp:
+            state, m = r1_dp_step(state, batch, gen_c, key)
+            metrics = {**metrics, **m}
         return state, metrics
 
     return train_step
@@ -489,26 +551,56 @@ def _build_phase_fns(cfg: TrainConfig, vgg_params=None, mesh=None):
         return state.replace(g_params=params, g_buffers=new_buffers,
                              g_opt=g_opt), metrics
 
+    def _gen_c_of(state, batch, noise_key):
+        _, _, _, gen_c, _ = _run_g(
+            g, state.g_params, state.g_buffers, batch, noise_key,
+            update_w_avg=False)
+        return jax.lax.stop_gradient(gen_c)
+
     def d_phase(state, batch, key, do_r1):
         ks = jax.random.split(key, 4)
         keys = dict(noise=ks[0], aug1=ks[1], aug2=ks[2], aug3=ks[3])
         (loss, metrics), grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state.d_params, state, batch, keys, do_r1)
+            d_loss_fn, has_aux=True)(state.d_params, state, batch, keys,
+                                     False)
         grads = sanitize(grads)
         updates, d_opt = d_opt_tx.update(grads, state.d_opt, state.d_params)
         params = optax.apply_updates(state.d_params, updates)
-        return state.replace(d_params=params, d_opt=d_opt), metrics
+        state = state.replace(d_params=params, d_opt=d_opt)
+        if do_r1:
+            # Dreg: own backward + optimizer update (reference phase
+            # semantics; same split as make_train_step's r1_d_step).
+            gen_c = _gen_c_of(state, batch, keys["noise"])
+            (_, r1_metrics), grads = jax.value_and_grad(
+                cores["d_r1"], has_aux=True)(
+                    state.d_params, gen_c, state.ada_p, batch, keys)
+            updates, d_opt = d_opt_tx.update(
+                sanitize(grads), state.d_opt, state.d_params)
+            params = optax.apply_updates(state.d_params, updates)
+            state = state.replace(d_params=params, d_opt=d_opt)
+            metrics = {**metrics, **r1_metrics}
+        return state, metrics
 
     def dp_phase(state, batch, key, do_r1):
         keys = dict(noise=key)
         (loss, metrics), grads = jax.value_and_grad(
             dp_loss_fn, has_aux=True)(state.dp_params, state, batch, keys,
-                                      do_r1)
+                                      False)
         grads = sanitize(grads)
         updates, dp_opt = dp_opt_tx.update(grads, state.dp_opt,
                                            state.dp_params)
         params = optax.apply_updates(state.dp_params, updates)
-        return state.replace(dp_params=params, dp_opt=dp_opt), metrics
+        state = state.replace(dp_params=params, dp_opt=dp_opt)
+        if do_r1:
+            gen_c = _gen_c_of(state, batch, keys["noise"])
+            (_, r1_metrics), grads = jax.value_and_grad(
+                cores["dp_r1"], has_aux=True)(state.dp_params, gen_c, batch)
+            updates, dp_opt = dp_opt_tx.update(
+                sanitize(grads), state.dp_opt, state.dp_params)
+            params = optax.apply_updates(state.dp_params, updates)
+            state = state.replace(dp_params=params, dp_opt=dp_opt)
+            metrics = {**metrics, **r1_metrics}
+        return state, metrics
 
     def post(state, real_signs):
         ema_nimg = cfg.ema_kimg * 1000
