@@ -251,6 +251,7 @@ def main():
         "value": round(device_ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(device_ips / BASELINE_IMAGES_PER_SEC, 3),
+        "batch": BATCH,
         "g_bf16_res": g_bf16,
         **components,
     }
@@ -300,7 +301,7 @@ if __name__ == "__main__":
                "error": "device unreachable: liveness probe did not "
                         f"complete in {PROBE_BUDGET_S:.0f}s",
                "stage": _STAGE["name"]})
-        os._exit(0)
+        os._exit(1)
     # Phase 2: total wall-clock budget for the measurement itself.
     worker.join(timeout=max(1.0, BUDGET_S - (time.time() - _STAGE["t0"])))
     if "record" in result:
@@ -310,9 +311,9 @@ if __name__ == "__main__":
         _emit({"metric": "tryon_512px_serving_throughput", "value": None,
                "unit": "images/sec/chip", "vs_baseline": None,
                "error": result["error"], "stage": _STAGE["name"]})
-        os._exit(0)
+        os._exit(1)
     _emit({"metric": "tryon_512px_serving_throughput", "value": None,
            "unit": "images/sec/chip", "vs_baseline": None,
            "error": f"wall-clock budget {BUDGET_S:.0f}s exceeded",
            "stage": _STAGE["name"]})
-    os._exit(0)
+    os._exit(1)

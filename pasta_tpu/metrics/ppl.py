@@ -142,16 +142,20 @@ def build_tryon_ppl_ctx(model, variables, dataroot, pairs, part="upper",
     @jax.jit
     def synth_from_code(code):
         def run(m, code_):
+            # The metric may slice the codes (--max-items); the conditioning
+            # batch must match. code_.shape[0] is static at trace time, so
+            # this is a free static slice of the closed-over inputs.
+            cond = jax.tree.map(lambda x: x[:code_.shape[0]], inputs_b)
             ws = m.mapping(jnp.zeros((code_.shape[0], 0)), code_)
-            pose_feat = m.encode_pose(inputs_b["pose"])
-            _, feats = m.encode_style(inputs_b["c"], inputs_b["retain"])
+            pose_feat = m.encode_pose(cond["pose"])
+            _, feats = m.encode_style(cond["c"], cond["retain"])
             cat_feats = {str(f.shape[1]): f for f in feats}
             _, finetune, _ = m.synthesis(
                 ws, pose_feat, cat_feats,
-                inputs_b["denorm_upper_input"],
-                inputs_b["denorm_lower_input"],
-                inputs_b["denorm_upper_mask"],
-                inputs_b["denorm_lower_mask"], None, noise_mode="const")
+                cond["denorm_upper_input"],
+                cond["denorm_lower_input"],
+                cond["denorm_upper_mask"],
+                cond["denorm_lower_mask"], None, noise_mode="const")
             return finetune
 
         return model.apply(variables, code, method=run)
