@@ -94,7 +94,12 @@ def parse_args(argv=None):
                    help="D/parsing-D phases consume Gmain's stop-gradient "
                         "fakes instead of a fresh no-grad G forward "
                         "(classic-GAN semantics; ~8%% faster step; off = "
-                        "reference parity)")
+                        "reference parity; implies "
+                        "--strict-phase-noise False)")
+    p.add_argument("--strict-phase-noise", type=_strict_bool, default=True,
+                   help="fresh per-phase generator draws for the D/DP "
+                        "phases (reference parity, default); False shares "
+                        "one no-grad draw (faster, same distribution)")
     p.add_argument("--ada-impl", default="auto",
                    choices=["auto", "twopass", "gather"],
                    help="ADA geometric warp: TPU-native two-pass or the "
@@ -122,9 +127,14 @@ def parse_args(argv=None):
                         "held-out set excluded from training")
     p.add_argument("--metric-ticks", type=int, default=10,
                    help="evaluate metrics every N ticks")
-    p.add_argument("--metric-items", type=int, default=64,
+    p.add_argument("--metric-items", type=int, default=None,
                    help="held-out set size for metrics (these items are "
-                        "excluded from the training sampler)")
+                        "excluded from the training sampler); default "
+                        "cfg.metric_items (512 — a sized FID protocol)")
+    p.add_argument("--metric-cache", default="~/.cache/pasta_tpu/metrics",
+                   help="disk cache dir for held-out real detector stats "
+                        "(reference metric_utils.py:180-228 semantics); "
+                        "'none' disables")
     p.add_argument("--inception", default=None,
                    help="inception detector weights (.pth/.npz) for metrics")
     p.add_argument("--tryon-grid", type=int, default=0, metavar="K",
@@ -165,6 +175,8 @@ def build_config(args):
         d_remat=args.d_remat,
         vgg_remat=args.vgg_remat,
         reuse_g_fakes=args.reuse_g_fakes,
+        strict_phase_noise=(args.strict_phase_noise
+                            and not args.reuse_g_fakes),
         grad_accum=args.grad_accum,
     )
     if args.batch is not None:
@@ -285,12 +297,14 @@ def main(argv=None):
 
         assert args.inception is not None, "--metrics needs --inception"
         detector_params = load_detector(args.inception)
+    metric_cache = None if args.metric_cache in (None, "none") \
+        else os.path.expanduser(args.metric_cache)
     loop_kwargs = dict(
         vgg_params=vgg_params, resume_path=args.resume,
         num_workers=args.workers, snapshot_ticks=args.snap, seed=args.seed,
         eval_metrics=eval_metrics, eval_ticks=args.metric_ticks,
         eval_items=args.metric_items, detector_params=detector_params,
-        tryon_grid_k=args.tryon_grid)
+        tryon_grid_k=args.tryon_grid, metric_cache_dir=metric_cache)
     if args.trace:
         import jax
 

@@ -16,10 +16,36 @@ no grouped-by-batch convs, no transpose convs.
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 from .upfirdn2d import upfirdn2d, _parse_padding, _get_filter_size
+
+# Epilogue-split lever (serving throughput). When on, large low-channel conv
+# outputs get an optimization_barrier so XLA cannot fuse the elementwise
+# epilogue (noise/bias/lrelu/clamp) INTO the convolution fusion: the fused
+# emitter runs the 512² C<=64 convs at 20-28 TFLOP/s where the unfused conv
+# plus a separate epilogue fusion runs at ~60 (scripts/probe_epilogue.py;
+# docs/perf_round5.md). The split costs one HBM round-trip of the conv
+# output (~1.3 ms/GB at 819 GB/s) against 2-3x on the conv itself. Off by
+# default (training is HBM-bound — extra materialization is the wrong trade
+# there until measured); bench/serving enable it explicitly.
+_EPILOGUE_SPLIT = os.environ.get("PASTA_EPILOGUE_SPLIT", "0") == "1"
+
+
+def set_epilogue_split(on: bool):
+    global _EPILOGUE_SPLIT
+    _EPILOGUE_SPLIT = bool(on)
+
+
+def _maybe_split_epilogue(y):
+    if (_EPILOGUE_SPLIT and y.ndim == 4 and y.shape[-1] <= 64
+            and y.shape[1] * y.shape[2] >= 512 * 512):
+        return jax.lax.optimization_barrier(y)
+    return y
 
 
 def _conv2d(x, w, stride=1, padding=0, groups=1, flip_weight=True):
@@ -38,14 +64,14 @@ def _conv2d(x, w, stride=1, padding=0, groups=1, flip_weight=True):
         # [py, px] like the torch wrapper
         py, px = padding
         padding = ((py, py), (px, px))
-    return lax.conv_general_dilated(
+    return _maybe_split_epilogue(lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-    )
+    ))
 
 
 def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,

@@ -49,14 +49,16 @@ class TrainConfig:
     # a single chip; unbiased estimator of the same penalty — analogous to
     # the reference's pl_batch_shrink for its path-length reg).
     r1_batch_shrink: int = 1
-    # When True, every D/parsing-D phase consumes a fresh no-grad generator
-    # draw with its own noise key (the reference's per-phase run_G,
-    # loss_fullbody.py:227-231/278-283). When False (default), one shared
-    # no-grad G forward from the post-update G feeds the D and parsing-D
-    # phases (monolithic and decomposed modes) — saving 1-2 full 512px G
-    # forwards per step; with use_noise=True those phases then see one
-    # common noise draw instead of independent ones (same distribution).
-    strict_phase_noise: bool = False
+    # When True (default — reference parity), every D/parsing-D phase
+    # consumes a fresh no-grad generator draw with its own noise key (the
+    # reference's per-phase run_G, loss_fullbody.py:227-231/278-283). When
+    # False, one shared no-grad G forward from the post-update G feeds the
+    # D and parsing-D phases (monolithic and decomposed modes) — saving 1-2
+    # full 512px G forwards per step; with use_noise=True those phases then
+    # see one common noise draw instead of independent ones (same
+    # distribution). Like reuse_g_fakes, the optimization is opt-in and the
+    # faithful semantics are the default.
+    strict_phase_noise: bool = True
     # When True (requires strict_phase_noise=False, grad_accum=1), the D and
     # parsing-D phases consume the SAME stop-gradiented fakes Gmain already
     # computed, eliminating the shared no-grad forward entirely (measured
@@ -94,6 +96,13 @@ class TrainConfig:
     sanitize_grads: bool = True     # nan_to_num on grads
                                     # (training_loop_fullbody.py:634-636)
     style_mixing_prob: float = 0.0
+    # Lazy-regularization cadence. In ALL step modes the R1 penalty runs as
+    # its own backward + its own optimizer update after the Dmain update
+    # (the reference's Dreg phase registry, training_loop_fullbody.py:
+    # 462-481). NOTE (round 5): phase mode folded R1 into the Dmain update
+    # through round 3; round 4 harmonized it with the other modes — resumed
+    # phase-mode runs will see shifted r1_penalty statistics (a
+    # r1_batch_shrink-prefix estimate and two Adam updates instead of one).
     d_reg_interval: int = 16
     g_reg_interval: int = 4
     # The reference registers the parsing-D phases twice (a bug — see
@@ -109,6 +118,13 @@ class TrainConfig:
     # EMA
     ema_kimg: float = 10.0
     ema_rampup: Optional[float] = None
+
+    # In-training metric evaluation sizing: held-out pool for the FID/KID
+    # evaluator (training_loop's default when the CLI doesn't override).
+    # 512 items makes the in-training FID a sized protocol instead of a
+    # smoke trend; the held-out real detector stats are disk-cached
+    # (TrainingEvaluator cache_dir) so the pool costs one extraction ever.
+    metric_items: int = 512
 
     # ADA
     ada_target: float = 0.6

@@ -17,12 +17,13 @@ model boundaries and chains gradients manually:
   post: EMA + ADA controller.
 
 Numerics match make_train_step exactly with use_noise=False (chain rule is
-associative); equivalence is covered by tests. With use_noise=True there is
-one documented deviation: by default the parsing-D phase reuses the D
-phase's generator outputs (one draw, key ks[3]) instead of the monolithic
-step's fresh draw (ks[7]) — saving one 512px G forward per step. Set
-cfg.strict_phase_noise=True to restore the monolithic/reference per-phase
-draws exactly.
+associative); equivalence is covered by tests. With use_noise=True the
+default (cfg.strict_phase_noise=True) matches the monolithic/reference
+per-phase generator draws exactly (fresh draw per D / parsing-D phase,
+keys ks[3]/ks[7+i] — reference loss_fullbody.py:227-231/278-283). Setting
+cfg.strict_phase_noise=False is the opt-in optimization: the parsing-D
+phase reuses the D phase's draw (one shared no-grad G forward per step,
+same distribution, one fewer 512px G forward).
 """
 
 from __future__ import annotations

@@ -153,7 +153,8 @@ class TrainingEvaluator:
 
     def __init__(self, cfg: TrainConfig, dataset, detector_params,
                  num_items: int = 64, batch_size: int = 8,
-                 metrics: Sequence[str] = ("fid",), tryon_mode="upper"):
+                 metrics: Sequence[str] = ("fid",), tryon_mode="upper",
+                 cache_dir: Optional[str] = None):
         from ..metrics.metric_main import DetectorRunner
 
         self.metrics = tuple(metrics)
@@ -165,9 +166,30 @@ class TrainingEvaluator:
             batch_to_train_inputs(items[i:i + batch_size])
             for i in range(0, n - batch_size + 1, batch_size)
         ]  # full batches only: one compiled forward shape
-        reals = np.concatenate([b["real_img"] for b in self.batches])
-        self.real_stats = self.runner.array_stats(
-            _to_uint8(reals), capture_all=True)
+        # Real-side detector stats are training-invariant: disk-cache them
+        # keyed by the held-out item identity + detector, so large eval
+        # pools (>=512 items) cost one extraction ever, not one per run
+        # (reference metric_utils.py:180-228 cache semantics).
+        self.real_stats = None
+        cache_file = None
+        if cache_dir is not None:
+            from ..metrics.feature_stats import FeatureStats, cache_path
+
+            cache_file = cache_path(
+                cache_dir, "train-real-stats",
+                root=str(getattr(dataset, "root", "")),
+                names=list(getattr(dataset, "image_names", []))[:n],
+                resolution=cfg.resolution, num_items=n,
+                detector=self.runner.kind,
+                detector_digest=_params_digest(detector_params))
+            if os.path.exists(cache_file):
+                self.real_stats = FeatureStats.load(cache_file)
+        if self.real_stats is None:
+            reals = np.concatenate([b["real_img"] for b in self.batches])
+            self.real_stats = self.runner.array_stats(
+                _to_uint8(reals), capture_all=True)
+            if cache_file is not None:
+                self.real_stats.save(cache_file)
         self.tryon_batches = None
         if any(m.endswith("tryon") for m in self.metrics):
             self.tryon_batches = self._build_tryon_batches(
@@ -281,6 +303,19 @@ def _to_uint8(images_pm1):
         0, 255).astype(np.uint8)
 
 
+def _params_digest(params):
+    """Cheap deterministic digest of a param tree (cache key component)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for leaf in jax.tree_util.tree_leaves(params):
+        a = np.asarray(leaf)
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(a.reshape(-1)[:4].tobytes())
+    return h.hexdigest()
+
+
 def training_loop(
     cfg: TrainConfig,
     dataset: TryonTrainDataset,
@@ -296,10 +331,15 @@ def training_loop(
     abort_fn=None,
     eval_metrics: Sequence[str] = (),
     eval_ticks: int = 10,
-    eval_items: int = 64,
+    eval_items: Optional[int] = None,
     detector_params=None,
     tryon_grid_k: int = 0,
+    metric_cache_dir: Optional[str] = None,
 ):
+    # eval_items defaults from the TrainConfig sizing (cfg.metric_items) —
+    # 64-item FID is a smoke trend, not a sized protocol.
+    if eval_items is None:
+        eval_items = getattr(cfg, "metric_items", 64)
     os.makedirs(run_dir, exist_ok=True)
     stdout_tee = Tee(sys.stdout, os.path.join(run_dir, "log.txt"))
     sys.stdout = stdout_tee
@@ -308,6 +348,7 @@ def training_loop(
             cfg, dataset, run_dir, vgg_params, resume_path, total_steps,
             tick_interval, snapshot_ticks, num_workers, seed, progress_fn,
             abort_fn, eval_metrics, eval_ticks, eval_items, detector_params,
+            metric_cache_dir,
             tryon_grid_k)
     finally:
         sys.stdout = stdout_tee._stream
@@ -317,7 +358,8 @@ def training_loop(
 def _training_loop_impl(
     cfg, dataset, run_dir, vgg_params, resume_path, total_steps,
     tick_interval, snapshot_ticks, num_workers, seed, progress_fn, abort_fn,
-    eval_metrics, eval_ticks, eval_items, detector_params, tryon_grid_k,
+    eval_metrics, eval_ticks, eval_items, detector_params, metric_cache_dir,
+    tryon_grid_k,
 ):
     mesh = make_mesh(cfg.data_axis_size)
     state = init_state(cfg, jax.random.PRNGKey(seed))
@@ -372,7 +414,7 @@ def _training_loop_impl(
             "in-training metrics need detector_params (inception weights)")
         evaluator = TrainingEvaluator(
             cfg, dataset, detector_params, num_items=holdout,
-            metrics=eval_metrics)
+            metrics=eval_metrics, cache_dir=metric_cache_dir)
 
     if total_steps is None:
         total_steps = cfg.total_kimg * 1000 // cfg.batch_size

@@ -49,7 +49,12 @@ def main():
     ap.add_argument("--no-vgg", action="store_true")
     ap.add_argument("--reuse-g-fakes", action="store_true",
                     help="D/DP consume Gmain's fakes (skips the shared "
-                         "no-grad G forward; classic-GAN semantics)")
+                         "no-grad G forward; classic-GAN semantics; "
+                         "implies --no-strict-phase-noise)")
+    ap.add_argument("--no-strict-phase-noise", action="store_true",
+                    help="one shared no-grad G draw feeds the D/DP phases "
+                         "(opt-in optimization; default is the reference's "
+                         "fresh per-phase draws)")
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
     args = ap.parse_args()
 
@@ -79,6 +84,8 @@ def main():
         use_noise=not args.no_noise,
         use_ada=not args.no_ada,
         reuse_g_fakes=args.reuse_g_fakes,
+        strict_phase_noise=not (args.no_strict_phase_noise
+                                or args.reuse_g_fakes),
     )
     cfg = TrainConfig(**cfg_kw)
 

@@ -102,6 +102,15 @@ def main():
                          "seeded-random (zero-egress container)")
     ap.add_argument("--report", default=None,
                     help="also write the JSON report to this path")
+    ap.add_argument("--g-bf16-res", type=int, default=0,
+                    help="run the jax generator's top-N blocks in bf16 "
+                         "(the benched serving numerics; 0 = fp32 parity)")
+    ap.add_argument("--serving", action="store_true",
+                    help="jax side runs the PRODUCTION serving program "
+                         "(device conditioning + matmul warps + on-device "
+                         "assemble, bench.py's path) instead of the "
+                         "host-preprocessed model.apply — certifies the "
+                         "shipping numerics end to end")
     args = ap.parse_args()
 
     import jax
@@ -125,7 +134,7 @@ def main():
     from pasta_tpu.models import Generator
 
     variables = load_reference_pickle_generator(pkl_path)
-    model = Generator()
+    model = Generator(num_bf16_res=args.g_bf16_res)
 
     # --- fixture pairs through OUR preprocessing ----------------------------
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
@@ -143,6 +152,41 @@ def main():
         img, finetune, parsing = model.apply(
             variables, noise_mode="const", **inputs)
         return img, finetune, parsing
+
+    serve_fwd = None
+    if args.serving:
+        # Production serving program: raw fixture planes -> device
+        # conditioning -> uint8 ingest -> matmul warps/erosion -> assemble
+        # -> generator forward (the exact program bench.py times).
+        import functools
+
+        from pasta_tpu.data import preprocess as pp
+        from pasta_tpu.serving import (host_prepare, ingest_device,
+                                       assemble_inputs_device)
+
+        @functools.partial(jax.jit, static_argnames=("tiled", "windowed"))
+        def _serve_run(variables, batch, tiled, windowed):
+            inputs = assemble_inputs_device(
+                ingest_device(batch), "upper", tiled=tiled,
+                warp_impl="auto", cut_windowed=windowed)
+            img, finetune, parsing = model.apply(
+                variables, noise_mode="const", **inputs)
+            return (img.astype(jnp.float32), finetune.astype(jnp.float32),
+                    parsing.astype(jnp.float32))
+
+        def serve_fwd(pair):
+            clothes_name, person_name = pair
+            root = os.path.join(REFERENCE_ROOT, "test_datas")
+            person = pp.load_person(root, person_name, pose_raster="device")
+            clothes = pp.load_person(root, clothes_name,
+                                     with_garment_parsing=True)
+            item = host_prepare(person, clothes, "upper", cond="device")
+            tiled = bool(item["tiles_fit"])
+            windowed = tiled and bool(item["cut_fits"])
+            batch = {k: jnp.asarray(np.asarray(v)[None])
+                     for k, v in item.items()
+                     if k not in ("tiles_fit", "cut_fits")}
+            return _serve_run(variables, batch, tiled, windowed)
 
     def fwd_ref(inputs):
         def t(x):
@@ -170,12 +214,22 @@ def main():
         cv2.imwrite(os.path.join(d, f"{i:03d}.png"),
                     cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
 
+    raw_pairs = None
+    if args.serving:
+        with open(os.path.join(REFERENCE_ROOT, "test_datas",
+                               "test_pairs.txt")) as f:
+            raw_pairs = [ln.split() for ln in f if ln.strip()]
+
     per_image = []
     for i in range(n_pairs):
         inputs, _ = to_model_inputs([ds[i]])
-        inputs_j = {k: jnp.asarray(v) for k, v in inputs.items()}
-        img_j, ft_j, pp_j = (np.asarray(v)
-                             for v in fwd_jax(variables, inputs_j))
+        if serve_fwd is not None:
+            img_j, ft_j, pp_j = (np.asarray(v)
+                                 for v in serve_fwd(raw_pairs[i]))
+        else:
+            inputs_j = {k: jnp.asarray(v) for k, v in inputs.items()}
+            img_j, ft_j, pp_j = (np.asarray(v)
+                                 for v in fwd_jax(variables, inputs_j))
         img_t, ft_t, pp_t = fwd_ref(inputs)
         save(dir_j, i, ft_j[0])
         save(dir_t, i, ft_t[0])
@@ -215,6 +269,9 @@ def main():
         pickle_import_path="io/legacy_pkl.load_reference_pickle_generator",
         n_pairs=n_pairs, detector=detector,
         jax_backend="cpu" if args.jax_cpu else jax.devices()[0].platform,
+        g_bf16_res=args.g_bf16_res,
+        jax_path=("serving program (device cond + matmul warps + assemble)"
+                  if args.serving else "host-preprocessed model.apply"),
         fid_delta=float(fid), kid_delta=float(kid),
         threshold=0.5, passed=bool(fid < 0.5),
         max_abs_finetune=max(r["max_abs_finetune"] for r in per_image),

@@ -52,7 +52,8 @@ def test_reuse_g_fakes_matches_monolithic_reuse():
     D params must agree (same tolerance as the baseline parity test)."""
     cfg = dataclasses.replace(
         smoke_config(1), batch_size=2, data_axis_size=1, mbstd_group_size=2,
-        resolution=64, use_noise=False, use_ada=False, reuse_g_fakes=True)
+        resolution=64, use_noise=False, use_ada=False, reuse_g_fakes=True,
+        strict_phase_noise=False)
     state0 = init_state(cfg, jax.random.PRNGKey(0))
     batch = {k: jnp.asarray(v)
              for k, v in example_batch(cfg, np.random.RandomState(0)).items()}

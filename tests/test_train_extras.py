@@ -54,7 +54,7 @@ class TestReuseGFakes:
         for reuse in (False, True):
             cfg = _small_cfg(use_ada=False, use_noise=False, lr=0.0,
                              vgg_weight=0.0, reuse_g_fakes=reuse,
-                             donate=False)
+                             strict_phase_noise=False, donate=False)
             state = init_state(cfg, jax.random.PRNGKey(0))
             step = make_train_step(cfg)
             batch = {k: jnp.asarray(v)
@@ -71,7 +71,8 @@ class TestReuseGFakes:
     @pytest.mark.slow
     def test_runs_with_real_lr(self):
         """Smoke: the reuse step trains (finite losses, params move)."""
-        cfg = _small_cfg(use_ada=False, reuse_g_fakes=True, donate=False)
+        cfg = _small_cfg(use_ada=False, reuse_g_fakes=True,
+                         strict_phase_noise=False, donate=False)
         state = init_state(cfg, jax.random.PRNGKey(0))
         step = make_train_step(cfg)
         batch = {k: jnp.asarray(v)
@@ -156,3 +157,56 @@ class TestCheckpointResume:
         for a, b in zip(jax.tree.leaves(state.g_opt),
                         jax.tree.leaves(restored.g_opt)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEvaluatorStatsCache:
+    """Held-out real detector stats disk cache (reference
+    metric_utils.py:180-228 cache semantics)."""
+
+    def test_real_stats_cached_across_constructions(self, tmp_path):
+        import os
+
+        import pasta_tpu.train.loop as loop_mod
+        from pasta_tpu.data.trainsets import TryonTrainDataset
+        from pasta_tpu.metrics.inception import random_inception_params
+        from pasta_tpu.metrics.metric_main import DetectorRunner
+
+        cfg = _small_cfg()
+        dataset = TryonTrainDataset("/root/reference/test_datas",
+                                    resolution=64)
+        det = random_inception_params(0)
+        cache = str(tmp_path / "cache")
+
+        calls = []
+        orig = DetectorRunner.array_stats
+
+        def counting(self, *a, **kw):
+            calls.append(1)
+            return orig(self, *a, **kw)
+
+        DetectorRunner.array_stats = counting
+        try:
+            ev1 = loop_mod.TrainingEvaluator(
+                cfg, dataset, det, num_items=4, batch_size=2,
+                metrics=("fid",), cache_dir=cache)
+            n_first = len(calls)
+            assert n_first == 1  # one real-side extraction
+            files = os.listdir(cache)
+            assert any(f.startswith("train-real-stats") for f in files)
+            ev2 = loop_mod.TrainingEvaluator(
+                cfg, dataset, det, num_items=4, batch_size=2,
+                metrics=("fid",), cache_dir=cache)
+            assert len(calls) == n_first  # cache hit: no re-extraction
+        finally:
+            DetectorRunner.array_stats = orig
+        mu1, s1 = ev1.real_stats.get_mean_cov()
+        mu2, s2 = ev2.real_stats.get_mean_cov()
+        np.testing.assert_array_equal(mu1, mu2)
+        np.testing.assert_array_equal(s1, s2)
+        # a different detector must miss the cache
+        det2 = random_inception_params(1)
+        ev3 = loop_mod.TrainingEvaluator(
+            cfg, dataset, det2, num_items=4, batch_size=2,
+            metrics=("fid",), cache_dir=cache)
+        mu3, _ = ev3.real_stats.get_mean_cov()
+        assert not np.allclose(mu1, mu3)

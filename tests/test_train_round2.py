@@ -53,12 +53,21 @@ class TestPathLengthReg:
 
 
 class TestPhaseNoiseKeys:
+    def test_default_is_reference_faithful(self):
+        """strict_phase_noise defaults ON (fresh per-phase draws, the
+        reference's loss_fullbody.py:227-231/278-283 semantics); the shared
+        draw is the opt-in optimization — same policy as reuse_g_fakes."""
+        from pasta_tpu.train.config import TrainConfig
+
+        assert TrainConfig().strict_phase_noise is True
+        assert TrainConfig().reuse_g_fakes is False
+
     @pytest.mark.slow
     def test_strict_decomposed_matches_monolithic_with_noise(self):
-        """With strict_phase_noise the decomposed step reproduces the
-        monolithic step's per-phase noise draws exactly (use_noise=True)."""
-        cfg = _tiny_cfg(resolution=64, use_ada=False,
-                        strict_phase_noise=True)
+        """At the DEFAULT config (strict_phase_noise=True) the decomposed
+        step reproduces the monolithic step's per-phase noise draws exactly
+        (use_noise=True)."""
+        cfg = _tiny_cfg(resolution=64, use_ada=False)
         state0 = init_state(cfg, jax.random.PRNGKey(0))
         batch = {k: jnp.asarray(v) for k, v in
                  example_batch(cfg, np.random.RandomState(0)).items()}
