@@ -88,7 +88,13 @@ class Conv2dLayer(nn.Module):
     trainable: bool = True  # recorded for optimizer masking (freeze-D)
 
     @nn.compact
-    def __call__(self, x, gain=1.0):
+    def __call__(self, x, gain=1.0, x2=None, split_at=None):
+        """Standard path: conv over x. With `x2`/`split_at` (1x1, no
+        resampling): computes conv(concat([x, x2]), w) as
+        conv(x, w[:split_at]) + conv(x2, w[split_at:]) — exact (a 1x1 conv
+        is linear over input channels), and it keeps lane-pad-wide x/x2
+        tensors conv-consumable without a concat that would misalign the
+        zero-padded weight rows (see ops/conv2d_resample.py lane-pad)."""
         k = self.kernel_size
         w = self.param(
             "weight", nn.initializers.normal(1.0), (k, k, self.in_channels, self.out_channels)
@@ -101,15 +107,26 @@ class Conv2dLayer(nn.Module):
         )
         f = setup_filter(self.resample_filter)
         flip_weight = self.up == 1
-        x = conv2d_resample(
-            x,
-            (w * weight_gain).astype(x.dtype),
-            f=f,
-            up=self.up,
-            down=self.down,
-            padding=k // 2,
-            flip_weight=flip_weight,
-        )
+        if x2 is not None:
+            assert k == 1 and self.up == 1 and self.down == 1
+            wg = (w * weight_gain)
+            x = conv2d_resample(
+                x, wg[:, :, :split_at].astype(x.dtype),
+                flip_weight=flip_weight,
+            ) + conv2d_resample(
+                x2, wg[:, :, split_at:].astype(x2.dtype),
+                flip_weight=flip_weight,
+            ).astype(x.dtype)
+        else:
+            x = conv2d_resample(
+                x,
+                (w * weight_gain).astype(x.dtype),
+                f=f,
+                up=self.up,
+                down=self.down,
+                padding=k // 2,
+                flip_weight=flip_weight,
+            )
         act_gain = activation_funcs[self.activation].def_gain * gain
         act_clamp = self.conv_clamp * gain if self.conv_clamp is not None else None
         return bias_act(x, b, act=self.activation, gain=act_gain, clamp=act_clamp)

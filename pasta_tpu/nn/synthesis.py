@@ -116,6 +116,12 @@ class ToRGBLayer(nn.Module):
         weight_gain = 1.0 / math.sqrt(self.in_channels * k * k)
         styles = affine(w) * weight_gain
 
+        weight = self.param(
+            "weight", nn.initializers.normal(1.0),
+            (k, k, self.in_channels, self.out_channels),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+
         pred_parsing = None
         if self.parsing_channels is not None:
             m_weight1 = self.param(
@@ -125,18 +131,20 @@ class ToRGBLayer(nn.Module):
             m_bias1 = self.param(
                 "m_bias1", nn.initializers.zeros, (self.parsing_channels,)
             )
-            pred_parsing = modulated_conv2d(
-                x, m_weight1, styles, demodulate=False
-            )
-            pred_parsing = bias_act(pred_parsing, m_bias1, clamp=self.conv_clamp)
-
-        weight = self.param(
-            "weight", nn.initializers.normal(1.0),
-            (k, k, self.in_channels, self.out_channels),
-        )
-        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-        x = modulated_conv2d(x, weight, styles, demodulate=False)
-        x = bias_act(x, b, clamp=self.conv_clamp)
+            # Both heads consume the SAME styles-scaled input with
+            # demodulate=False — output channels of a conv accumulate
+            # independently, so one weight-concat conv then a split is
+            # exact and replaces two [N,512²,64]→tiny-C convs (each too
+            # skinny to fill the MXU's 128 output lanes) with one.
+            w_cat = jnp.concatenate([weight, m_weight1], axis=-1)
+            b_cat = jnp.concatenate([b, m_bias1], axis=0)
+            y = modulated_conv2d(x, w_cat, styles, demodulate=False)
+            y = bias_act(y, b_cat, clamp=self.conv_clamp)
+            x = y[..., : self.out_channels]
+            pred_parsing = y[..., self.out_channels:]
+        else:
+            x = modulated_conv2d(x, weight, styles, demodulate=False)
+            x = bias_act(x, b, clamp=self.conv_clamp)
         return x, pred_parsing
 
 
@@ -230,6 +238,14 @@ class SpadeNormBlock(nn.Module):
             actv, w_gb.astype(actv.dtype), f=None, padding=1,
             flip_weight=True)
         gamma, beta = jnp.split(gb, 2, axis=-1)
+        if gamma.shape[-1] < normalized.shape[-1]:
+            # x is lane-pad wide: gamma=0 / beta=0 on the pad lanes leaves
+            # them as `normalized` garbage — inert at the next conv's
+            # zero-padded weight rows.
+            pad = normalized.shape[-1] - gamma.shape[-1]
+            zeros = jnp.zeros(gamma.shape[:-1] + (pad,), gamma.dtype)
+            gamma = jnp.concatenate([gamma, zeros], axis=-1)
+            beta = jnp.concatenate([beta, zeros], axis=-1)
         return normalized * (1 + gamma) + beta
 
 
@@ -332,11 +348,19 @@ class _SynthesisBlockBase(nn.Module):
         w_idx += 1
 
         if self.in_channels != 0 and self.resolution > 32:
+            from ..ops.conv2d_resample import lane_pad_enabled
+
             merge_conv = Conv2dLayer(
                 self.out_channels + 64, self.out_channels, kernel_size=1,
                 resample_filter=self.resample_filter, name="merge_conv")
-            x = jnp.concatenate([x, cat_feat.astype(x.dtype)], axis=-1)
-            x = merge_conv(x)
+            if lane_pad_enabled():
+                # Split form keeps lane-pad-wide x / cat_feat consumable
+                # (concat would misalign the zero weight rows).
+                x = merge_conv(x, x2=cat_feat.astype(x.dtype),
+                               split_at=self.out_channels)
+            else:
+                x = jnp.concatenate([x, cat_feat.astype(x.dtype)], axis=-1)
+                x = merge_conv(x)
         return x, w_idx
 
     def _torgb(self, x, img, ws, w_idx):

@@ -68,6 +68,15 @@ def bias_act(x, b=None, dim=-1, act="linear", alpha=None, gain=None, clamp=None)
     if b is not None:
         assert b.ndim == 1
         axis = dim % x.ndim
+        if b.shape[0] < x.shape[axis]:
+            # Lane-padded wide activation (conv2d_resample lane-pad lever):
+            # zero bias for the pad lanes.
+            from .conv2d_resample import lane_pad_enabled
+
+            assert lane_pad_enabled(), (
+                f"bias length {b.shape[0]} < channel dim {x.shape[axis]}")
+            b = jnp.concatenate(
+                [b, jnp.zeros((x.shape[axis] - b.shape[0],), b.dtype)])
         shape = [1] * x.ndim
         shape[axis] = -1
         x = x + b.astype(x.dtype).reshape(shape)

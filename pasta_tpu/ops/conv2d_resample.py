@@ -24,28 +24,48 @@ from jax import lax
 
 from .upfirdn2d import upfirdn2d, _parse_padding, _get_filter_size
 
-# Epilogue-split lever (serving throughput). When on, large low-channel conv
-# outputs get an optimization_barrier so XLA cannot fuse the elementwise
-# epilogue (noise/bias/lrelu/clamp) INTO the convolution fusion: the fused
-# emitter runs the 512² C<=64 convs at 20-28 TFLOP/s where the unfused conv
-# plus a separate epilogue fusion runs at ~60 (scripts/probe_epilogue.py;
-# docs/perf_round5.md). The split costs one HBM round-trip of the conv
-# output (~1.3 ms/GB at 819 GB/s) against 2-3x on the conv itself. Off by
-# default (training is HBM-bound — extra materialization is the wrong trade
-# there until measured); bench/serving enable it explicitly.
-_EPILOGUE_SPLIT = os.environ.get("PASTA_EPILOGUE_SPLIT", "0") == "1"
+# Lane-pad lever (serving throughput). The round-5 serving trace showed
+# 512² convs with 64 output channels running at 20-28 TFLOP/s while
+# 128-out convs in the SAME program at the SAME {3,0,2,1:T(8,128)} layout
+# run at 100-153 (docs/perf_round5.md): a 64-wide minor dim fills half the
+# MXU's 128 lanes AND steers XLA to the slow EmitAllBatchInSublanes conv
+# emitter. Since a C=64 lane dim is already padded to 128 in HBM, widening
+# the conv to an explicit 128 output (zero weights — exact: extra output
+# channels accumulate independently) costs no memory and roughly doubles
+# the useful rate (scripts/probe_chanpad.py).
+#
+# CRITICAL: the widened output must NOT be sliced back to 64 next to the
+# conv — XLA's algebraic simplifier recognizes slice(conv(x, concat(w, 0)))
+# and reverts the whole trick (measured: identical runtime, and the
+# optimized HLO shows no 128-out convs). Instead the wide tensor FLOWS
+# through the elementwise epilogues, and every consumer conv zero-pads its
+# weight's *input* rows to the physical width (zero rows make the garbage
+# pad lanes inert — exact). Slices only ever appear where a multi-consumer
+# split already exists (the SPADE gamma/beta pattern, which XLA keeps).
+#
+# Off by default (training programs are compiled under remat/HBM pressure —
+# measured separately); bench/serving enable it explicitly.
+_LANE_PAD = os.environ.get("PASTA_LANE_PAD", "0") == "1"
+_LANE_PAD_MIN_PIXELS = 512 * 512
+_LANE = 128
 
 
-def set_epilogue_split(on: bool):
-    global _EPILOGUE_SPLIT
-    _EPILOGUE_SPLIT = bool(on)
+def set_lane_pad(on: bool):
+    global _LANE_PAD
+    _LANE_PAD = bool(on)
 
 
-def _maybe_split_epilogue(y):
-    if (_EPILOGUE_SPLIT and y.ndim == 4 and y.shape[-1] <= 64
-            and y.shape[1] * y.shape[2] >= 512 * 512):
-        return jax.lax.optimization_barrier(y)
-    return y
+def lane_pad_enabled() -> bool:
+    return _LANE_PAD
+
+
+def _lane_pad_wants(x, w, groups):
+    # Widen only the exactly-half-lane case: 64-out convs on large maps.
+    # Smaller heads (torgb's 3/10-out) must keep their logical width — their
+    # consumers (image composites) are not convs and cannot eat pad lanes.
+    return (_LANE_PAD and groups == 1 and x.ndim == 4
+            and w.shape[3] == _LANE // 2
+            and x.shape[1] * x.shape[2] >= _LANE_PAD_MIN_PIXELS)
 
 
 def _conv2d(x, w, stride=1, padding=0, groups=1, flip_weight=True):
@@ -64,14 +84,25 @@ def _conv2d(x, w, stride=1, padding=0, groups=1, flip_weight=True):
         # [py, px] like the torch wrapper
         py, px = padding
         padding = ((py, py), (px, px))
-    return _maybe_split_epilogue(lax.conv_general_dilated(
+    if _LANE_PAD and groups == 1 and x.shape[-1] > w.shape[2]:
+        # Wide (lane-padded) input from an upstream widened conv: zero rows
+        # for the pad lanes make their garbage contribute exactly nothing.
+        w = jnp.concatenate(
+            [w, jnp.zeros((w.shape[0], w.shape[1],
+                           x.shape[-1] - w.shape[2], w.shape[3]), w.dtype)],
+            axis=2)
+    if _lane_pad_wants(x, w, groups):
+        w = jnp.concatenate(
+            [w, jnp.zeros(w.shape[:3] + (_LANE - w.shape[3],), w.dtype)],
+            axis=3)
+    return lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-    ))
+    )
 
 
 def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,

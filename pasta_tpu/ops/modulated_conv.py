@@ -64,6 +64,13 @@ def modulated_conv2d(
     if input_gain is not None:
         styles = styles * input_gain
 
+    if x.shape[-1] > in_ch:
+        # Lane-padded wide input (ops/conv2d_resample.py lane-pad lever):
+        # zero styles for the pad lanes zero the scaled input there, and the
+        # conv's zero-padded weight rows make them inert either way.
+        styles = jnp.concatenate(
+            [styles, jnp.zeros((n, x.shape[-1] - in_ch), styles.dtype)],
+            axis=1)
     x = x * styles.astype(x.dtype)[:, None, None, :]
     x = conv2d_resample(
         x,
@@ -74,6 +81,13 @@ def modulated_conv2d(
         padding=padding,
         flip_weight=flip_weight,
     )
+    if x.shape[-1] > out_ch:
+        # Widened output: pad the per-sample demodulation with zeros so the
+        # pad lanes stay exactly zero ahead of the (broadcast) noise add.
+        if dcoefs is not None:
+            dcoefs = jnp.concatenate(
+                [dcoefs, jnp.zeros((n, x.shape[-1] - out_ch), dcoefs.dtype)],
+                axis=1)
     if demodulate and noise is not None:
         x = x * dcoefs.astype(x.dtype)[:, None, None, :] + noise.astype(x.dtype)
     elif demodulate:
